@@ -1,0 +1,208 @@
+"""M1 — batched mention detection + NEN-style entity linking.
+
+Reference semantics re-expressed Spark-first:
+
+- sentence split: the reference stores pre-split sentences
+  (/root/reference/kb_utils.py:1474-1484); our corpus uses ". "-joined
+  sentences, split JVM-side.
+- token n-gram span enumeration: spans of ≤N tokens within 3..100 chars
+  (/root/reference/kb_utils.py:806-856 — its UMLS annotator enumerates spaCy
+  token n-grams with exactly these bounds). Implemented with higher-order
+  array functions (sequence/transform/slice/aggregate) — stays in the JVM,
+  no Python in the hot path, no shuffle: pure per-row compute that scales
+  linearly with executors.
+- dictionary match: broadcast hash join of spans against the NEN dictionary
+  (/root/reference/kb_utils.py:829-852 probes every n-gram against an
+  in-memory dict — the classic broadcast-join shape, SURVEY.md J14).
+- candidate ranking: ids per matched name ordered by (freq desc, id) —
+  get_ids_by_name semantics (/root/reference/kb_utils.py:365-372).
+- overlap removal: greedy keep-first by start offset, longer span wins on
+  ties (/root/reference/server.py:1292-1334) — inherently sequential per
+  sentence, so it runs as applyInPandas per (doc_id, sent_idx) group.
+
+Scale notes (100 TB): every step before the final groupBy is narrow
+(map-only). The only shuffles are the applyInPandas group (keyed by
+(doc_id, sent_idx) — uniformly distributed, no skew: doc_id is a sha256
+prefix) and the mention aggregation on the same key. The dictionary
+(~millions of names at full scale) broadcasts at ≤ a few hundred MB; above
+that, switch the join to a bucketed sort-merge on name_lower.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+MAX_SPAN_CHARS = 100
+MIN_SPAN_CHARS = 3
+
+
+def split_sentences(source_ingested: DataFrame) -> DataFrame:
+    """source → sentences(doc_id, sent_idx, sentence, section, content_sha256)."""
+    return (
+        source_ingested.select(
+            "doc_id",
+            "content_sha256",
+            F.posexplode(F.split(F.col("content"), r"\.\s+")).alias("sent_idx", "sentence"),
+        )
+        .withColumn("sentence", F.regexp_replace("sentence", r"\.$", ""))
+        .filter(F.length("sentence") > 0)
+        .select(
+            "doc_id",
+            F.col("sent_idx").cast("int").alias("sent_idx"),
+            "sentence",
+            F.lit("abstract").alias("section"),
+            "content_sha256",
+        )
+    )
+
+
+def _token_char_offset(tokens: Column, i: Column) -> Column:
+    """Char offset of token i in the space-joined sentence (JVM-side)."""
+    return F.aggregate(
+        F.slice(tokens, 1, i), F.lit(0), lambda acc, x: acc + F.length(x)
+    ) + i
+
+
+def enumerate_spans(sentences: DataFrame, max_tokens: int) -> DataFrame:
+    """All token n-grams (n ≤ max_tokens, 3..100 chars) with char offsets.
+
+    Pure per-row explode — no shuffle. ``max_tokens`` should be the max
+    token count over dictionary names (computed once by the caller) so the
+    explode factor is minimal.
+    """
+    tokens = F.split(F.col("sentence"), " ")
+    # array<struct<offset,text>>: for each start index i and length n,
+    # the span tokens[i:i+n] joined by spaces, with its char offset.
+    spans = F.filter(
+        F.flatten(
+            F.transform(
+                F.sequence(F.lit(0), F.size(tokens) - 1),
+                lambda i: F.transform(
+                    F.sequence(F.lit(1), F.lit(max_tokens)),
+                    lambda n: F.when(
+                        i + n <= F.size(tokens),
+                        F.struct(
+                            _token_char_offset(tokens, i).cast("int").alias("offset"),
+                            F.array_join(F.slice(tokens, i + 1, n), " ").alias("text"),
+                        ),
+                    ),
+                ),
+            )
+        ),
+        lambda s: s.isNotNull()
+        & (F.length(s["text"]) >= MIN_SPAN_CHARS)
+        & (F.length(s["text"]) <= MAX_SPAN_CHARS),
+    )
+    return sentences.select(
+        "doc_id", "sent_idx", "content_sha256", F.explode(spans).alias("span")
+    ).select(
+        "doc_id",
+        "sent_idx",
+        "content_sha256",
+        F.col("span.offset").alias("offset"),
+        F.col("span.text").alias("span_text"),
+    )
+
+
+def dictionary_candidates(spans: DataFrame, entity_dict: DataFrame) -> DataFrame:
+    """Broadcast-join spans against the dictionary (case-insensitive).
+
+    Output: one row per (span occurrence, type) with the freq-ranked id list
+    — mention `ids` per kb_utils.py:365-372 (ids sorted by freq desc).
+    """
+    dict_by_name = (
+        entity_dict.groupBy(F.lower(F.col("name")).alias("name_lower"), "type")
+        .agg(
+            # freq desc then id asc, deterministically, without a window:
+            # sort struct(-freq, id) ascending, then project id.
+            # case aliases share ids → sum freq per id first, then order
+            # by (freq desc, id asc) and dedupe keeping highest-freq slot.
+            F.array_distinct(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct((-F.col("freq")).alias("nf"), F.col("id").alias("id"))
+                        )
+                    ),
+                    lambda s: s["id"],
+                )
+            ).alias("ids")
+        )
+    )
+    return spans.join(
+        F.broadcast(dict_by_name),
+        F.lower(F.col("span_text")) == F.col("name_lower"),
+        "inner",
+    ).select(
+        "doc_id",
+        "sent_idx",
+        "content_sha256",
+        "offset",
+        F.col("span_text").alias("name"),
+        "type",
+        "ids",
+    )
+
+
+def resolve_overlaps(candidates: DataFrame) -> DataFrame:
+    """Greedy non-overlap resolution per sentence (server.py:1292-1334).
+
+    Sort by (offset asc, length desc, type asc); keep a span iff it starts
+    at/after the end of the last kept span. Mentions of *different types* on
+    the identical span are all kept (the reference emits one mention per
+    type). Sequential per sentence → applyInPandas on (doc_id, sent_idx).
+    """
+
+    def per_sentence(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.assign(_len=pdf["name"].str.len()).sort_values(
+            ["offset", "_len", "type", "name"], ascending=[True, False, True, True]
+        )
+        kept_rows = []
+        last_end = -1
+        kept_span: tuple[int, int] | None = None
+        for row in pdf.itertuples(index=False):
+            start, end = row.offset, row.offset + len(row.name)
+            if start >= last_end:
+                kept_rows.append(row)
+                last_end = end
+                kept_span = (start, end)
+            elif kept_span == (start, end):
+                kept_rows.append(row)  # same span, different type
+        out = pd.DataFrame(kept_rows, columns=pdf.columns).drop(columns=["_len"])
+        out = out.sort_values(["offset", "type"]).reset_index(drop=True)
+        out["mention_idx"] = range(len(out))
+        return out
+
+    schema = (
+        "doc_id string, sent_idx int, content_sha256 string, offset int, "
+        "name string, type string, ids array<string>, mention_idx int"
+    )
+    return candidates.groupBy("doc_id", "sent_idx").applyInPandas(per_sentence, schema)
+
+
+def build_mentions(
+    source_ingested: DataFrame, entity_dict: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """Full M1: source → (sentences, mentions)."""
+    sentences = split_sentences(source_ingested)
+    # driver-side scalar: max tokens over dictionary names — bounds the
+    # explode factor; one tiny job, cached by the caller if reused.
+    max_tokens = (
+        entity_dict.select(F.max(F.size(F.split(F.col("name"), " "))).alias("m"))
+        .collect()[0]["m"]
+    )
+    spans = enumerate_spans(sentences, max_tokens=int(max_tokens))
+    candidates = dictionary_candidates(spans, entity_dict)
+    mentions = resolve_overlaps(candidates).select(
+        "doc_id",
+        "sent_idx",
+        "mention_idx",
+        "name",
+        "type",
+        "ids",
+        "offset",
+        "content_sha256",
+    )
+    return sentences, mentions

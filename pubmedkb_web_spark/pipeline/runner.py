@@ -1,0 +1,212 @@
+"""Pipeline orchestration with per-stage checkpoints, lineage and metrics.
+
+North-rule requirements: resumable from per-stage checkpoints with
+per-partition lineage + metrics. Each stage writes its output parquet and a
+``_graft_meta.json`` marker containing the stage fingerprint (name + config
++ upstream fingerprints — a Merkle-style lineage chain), the row count and
+per-partition row metrics. On resume, a stage whose marker matches its
+fingerprint is *read back* instead of recomputed; the first stage with a
+stale/missing marker recomputes, and everything downstream follows.
+
+Determinism guarantees that make resume byte-stable: no
+monotonically_increasing_id, no RNG, no wall-clock anywhere in the stages
+(ids are content hashes, salts are hashes of row keys).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import fixtures
+from . import canonicalize, extractors, materialize, mentions
+
+MARKER = "_graft_meta.json"
+
+
+def _fingerprint(name: str, config: dict, upstream: list[str]) -> str:
+    import hashlib
+
+    payload = json.dumps(
+        {"name": name, "config": config, "upstream": sorted(upstream)}, sort_keys=True
+    )
+    return hashlib.sha256(payload.encode()).hexdigest()[:16]
+
+
+def _partition_metrics(df: DataFrame) -> list[dict]:
+    rows = (
+        df.groupBy(F.spark_partition_id().alias("pid"))
+        .agg(F.count(F.lit(1)).alias("rows"))
+        .collect()
+    )
+    return [{"partition": int(r["pid"]), "rows": int(r["rows"])} for r in rows]
+
+
+@dataclass
+class StageResult:
+    name: str
+    path: str
+    fingerprint: str
+    row_count: int
+    recomputed: bool
+    partitions: list[dict] = field(default_factory=list)
+
+
+class CheckpointedPipeline:
+    """Runs named stages with checkpoint/resume over a parquet root."""
+
+    def __init__(self, spark: SparkSession, out_dir: str, resume: bool = True):
+        self.spark = spark
+        self.out_dir = out_dir
+        self.resume = resume
+        self.results: dict[str, StageResult] = {}
+
+    def _marker_path(self, name: str) -> str:
+        return os.path.join(self.out_dir, name, MARKER)
+
+    def stage(
+        self,
+        name: str,
+        build: Callable[[], DataFrame],
+        config: dict | None = None,
+        upstream: list[str] | None = None,
+        partition_by: list[str] | None = None,
+    ) -> DataFrame:
+        config = config or {}
+        upstream_fps = [self.results[u].fingerprint for u in (upstream or [])]
+        fp = _fingerprint(name, config, upstream_fps)
+        path = os.path.join(self.out_dir, name)
+        marker = self._marker_path(name)
+
+        if self.resume and os.path.exists(marker):
+            with open(marker) as f:
+                meta = json.load(f)
+            if meta.get("fingerprint") == fp:
+                df = self.spark.read.parquet(path)
+                self.results[name] = StageResult(
+                    name, path, fp, meta["row_count"], recomputed=False,
+                    partitions=meta.get("partitions", []),
+                )
+                return df
+
+        df = build()
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(path)
+        out = self.spark.read.parquet(path)
+        parts = _partition_metrics(out)
+        row_count = sum(p["rows"] for p in parts)
+        with open(marker, "w") as f:
+            json.dump(
+                {
+                    "stage": name,
+                    "fingerprint": fp,
+                    "upstream": upstream or [],
+                    "row_count": row_count,
+                    "partitions": parts,
+                    "config": config,
+                },
+                f,
+                indent=1,
+            )
+        self.results[name] = StageResult(name, path, fp, row_count, True, parts)
+        return out
+
+
+def run_kg_pipeline(
+    spark: SparkSession,
+    out_dir: str,
+    n_docs: int | None = None,
+    source_df: DataFrame | None = None,
+    entity_dict: DataFrame | None = None,
+    seed: int = fixtures.SEED,
+    resume: bool = True,
+) -> dict[str, DataFrame]:
+    """Full M0→M4 build. Returns the materialized DataFrames by name."""
+    pipe = CheckpointedPipeline(spark, out_dir, resume=resume)
+    if entity_dict is None:
+        entity_dict = fixtures.entity_dict_df(spark, seed)
+    entity_dict = entity_dict.cache()
+
+    src_cfg = {"n_docs": n_docs, "seed": seed, "external": source_df is not None}
+    source = pipe.stage(
+        "source",
+        lambda: fixtures.ingest(
+            source_df if source_df is not None else fixtures.source_table(spark, n_docs or 0, seed)
+        ),
+        config=src_cfg,
+    )
+
+    sents_ments: dict[str, DataFrame] = {}
+
+    def build_m1() -> tuple[DataFrame, DataFrame]:
+        if "pair" not in sents_ments:
+            s, m = mentions.build_mentions(source, entity_dict)
+            sents_ments["pair"] = (s, m)
+        return sents_ments["pair"]
+
+    sentences = pipe.stage("sentences", lambda: build_m1()[0], upstream=["source"])
+    mention_df = pipe.stage("mentions", lambda: build_m1()[1], upstream=["source"])
+
+    annotations = pipe.stage(
+        "annotations",
+        lambda: extractors.extract_all(mention_df, sentences),
+        upstream=["sentences", "mentions"],
+    )
+    canon = pipe.stage(
+        "canonical_map", lambda: canonicalize.canonical_map(entity_dict), config={"seed": seed}
+    )
+    triples = pipe.stage(
+        "triples",
+        lambda: materialize.dedup_triples(
+            canonicalize.rewrite_triples(extractors.to_triples(annotations), canon)
+        ),
+        upstream=["annotations", "canonical_map"],
+        partition_by=["annotator"],
+    )
+    postings = pipe.stage(
+        "entity_postings",
+        lambda: materialize.build_entity_postings(annotations).repartition(
+            spark.sparkContext.defaultParallelism, "type", "key"
+        ),
+        upstream=["annotations"],
+    )
+    entity_types = entity_dict.select("id", "type").distinct()
+    pair_stats = pipe.stage(
+        "pair_stats",
+        lambda: materialize.build_pair_stats(triples),
+        upstream=["triples"],
+    )
+    chem_disease = pipe.stage(
+        "chem_disease",
+        lambda: materialize.build_chem_disease(triples, entity_types),
+        upstream=["triples"],
+    )
+    cgd_paths = pipe.stage(
+        "cgd_paths",
+        lambda: materialize.build_cgd_paths(triples, entity_types),
+        upstream=["triples"],
+    )
+    meta = pipe.stage(
+        "meta", lambda: fixtures.meta_table(spark, source, seed), upstream=["source"]
+    )
+    return {
+        "source": source,
+        "sentences": sentences,
+        "mentions": mention_df,
+        "annotations": annotations,
+        "canonical_map": canon,
+        "triples": triples,
+        "entity_postings": postings,
+        "pair_stats": pair_stats,
+        "chem_disease": chem_disease,
+        "cgd_paths": cgd_paths,
+        "meta": meta,
+        "_pipeline": pipe,  # type: ignore[dict-item]
+    }

@@ -1,0 +1,134 @@
+"""Retrieval operators: BM25-as-join, RRF fusion, exact cosine top-k.
+
+Reference chain (/query_pubmed_qa, SURVEY.md §3.3): UMLS dictionary
+annotation → BM25 top-10000 (bm25s mmap index, kb_utils.py:895-955) →
+impact-rank RRF fusion 1/(rank+61) (kb_utils.py:997-1033) → embedding
+re-rank via Qdrant (kb_utils.py:1112-1185). Spark-first replacements:
+
+- BM25: a term-postings DataFrame (tf/df/doclen precomputed at build time)
+  joined against the query's term set — no serving index, scoring is a
+  broadcast join + groupBy;
+- RRF: full outer join of two windowed rank columns (SURVEY.md J13);
+- embeddings: brute-force exact cosine top-k with the dot product computed
+  JVM-side via zip_with + aggregate — Catalyst plans TakeOrderedAndProject,
+  no Python in the loop. (The LSH-bucketed ANN variant for the 100 TB path
+  lives in ops/similarity.py.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+RRF_K = 61  # reciprocal-rank constant (kb_utils.py:997)
+BM25_K1 = 1.5
+BM25_B = 0.75
+
+
+def build_term_postings(corpus: DataFrame, doc_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """corpus → (term, doc_id, tf, dl). One explode + one groupBy."""
+    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    exploded = corpus.select(
+        F.col(doc_col).alias("doc_id"),
+        F.size(toks).alias("dl"),
+        F.explode(toks).alias("term"),
+    ).filter(F.length("term") > 0)
+    return exploded.groupBy("term", "doc_id", "dl").agg(F.count(F.lit(1)).alias("tf"))
+
+
+def bm25_score(
+    term_postings: DataFrame,
+    query_terms: list[str],
+    n_docs: int,
+    avgdl: float,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    top_k: int = 10_000,
+) -> DataFrame:
+    """Score all docs containing any query term; top_k by (score desc, doc asc).
+
+    df(term) is computed on the pruned postings (only query terms survive
+    the scan thanks to the pushed isin filter).
+    """
+    qt = [t.lower() for t in query_terms]
+    hits = term_postings.filter(F.col("term").isin(qt))
+    df_counts = hits.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    scored = hits.join(F.broadcast(df_counts), "term").withColumn(
+        "idf",
+        F.log(1.0 + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)),
+    )
+    tf_part = (F.col("tf") * (k1 + 1)) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.lit(float(avgdl)))
+    )
+    return (
+        scored.withColumn("term_score", F.col("idf") * tf_part)
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("term_score"), 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .limit(top_k)
+    )
+
+
+def rrf_fuse(
+    ranked_a: DataFrame,
+    ranked_b: DataFrame,
+    key: str = "doc_id",
+    k: int = RRF_K,
+    top_k: int = 1_000,
+) -> DataFrame:
+    """Reciprocal-rank fusion of two (key, rank) relations
+    (kb_utils.py:997,1016-1022): full outer join, 1/(rank+k) summed,
+    absent side contributes 0."""
+    a = ranked_a.select(key, F.col("rank").alias("rank_a"))
+    b = ranked_b.select(key, F.col("rank").alias("rank_b"))
+    fused = a.join(b, key, "full_outer").withColumn(
+        "rrf",
+        F.round(
+            F.coalesce(1.0 / (F.col("rank_a") + k), F.lit(0.0))
+            + F.coalesce(1.0 / (F.col("rank_b") + k), F.lit(0.0)),
+            8,
+        ),
+    )
+    return fused.orderBy(F.col("rrf").desc(), F.col(key).asc()).limit(top_k)
+
+
+def rank_by(df: DataFrame, order_col: str, key: str = "doc_id", ascending: bool = False) -> DataFrame:
+    """(key, rank) with deterministic tiebreak on the key."""
+    oc = F.col(order_col).asc() if ascending else F.col(order_col).desc()
+    w = W.orderBy(oc, F.col(key).asc())
+    return df.select(key, order_col).withColumn("rank", F.row_number().over(w))
+
+
+def cosine(vec_col: F.Column, query: list[float]) -> F.Column:
+    """Exact cosine similarity against a literal query vector, JVM-side:
+    zip_with for the elementwise product, aggregate for the sums."""
+    qcol = F.array(*[F.lit(float(x)) for x in query])
+    dot = F.aggregate(
+        F.zip_with(vec_col, qcol, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+    norm_v = F.sqrt(
+        F.aggregate(vec_col, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v)
+    )
+    norm_q = float(sum(x * x for x in query)) ** 0.5
+    return dot / (norm_v * F.lit(norm_q))
+
+
+def cosine_top_k(
+    embeddings: DataFrame,
+    query: list[float],
+    top_k: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force exact top-k (the reference's Qdrant call is exact at its
+    collection sizes too, kb_utils.py:1112-1154). Plans as one scan +
+    TakeOrderedAndProject — embarrassingly parallel at any scale."""
+    return (
+        embeddings.select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), query), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
+        .limit(top_k)
+    )
