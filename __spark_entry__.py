@@ -1,38 +1,901 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` maps one entry per implemented operator family from
+SURVEY.md §2 (+ the training-data ops) to a callable ``(spark, sf_dir) →
+DataFrame``; ``oracle_sql()`` gives the DuckDB-equivalent SQL over the same
+parquet tables. Hash-derived columns use the portable md5-int60 /
+Mersenne-31 family (pubmedkb_web_spark/functions/hashing.py) so signatures
+compare value-for-value. Queries call the engine's own operators — the gate
+tests package code, not ad-hoc SQL.
+
+Entries without an oracle (difflib fuzzy match, HGVSp parsing, the full KG
+pipeline, LSH-ANN) are genuinely non-SQL-expressible; the driver records
+the weaker rows-only check and pytest covers them against Python oracles.
 """
 
 from __future__ import annotations
 
+import os
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from pubmedkb_web_spark import fixtures
+from pubmedkb_web_spark.functions.hashing import MERSENNE31, affine_params, md5_int60
+from pubmedkb_web_spark.ops import dedup, multimodal, similarity, textstats
+from pubmedkb_web_spark.pipeline import extractors, materialize, runner
+from pubmedkb_web_spark.query import graph, nen, rel, retrieval, spec
+from pubmedkb_web_spark.streaming import events as streaming_events
+
+M31 = MERSENNE31
+VOCAB = ["spark", "join", "merge", "sort", "hash"]
+MD5_SQL = "(('0x' || substr(md5({x}), 1, 15))::BIGINT)"
+TOKS_SQL = "string_split_regex(lower(text), '\\s+')"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, tok, ord, dl) — positional tokens of documents."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: F.length(t) > 0)
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("dl"),
+        F.posexplode(toks).alias("pos0", "tok"),
+    ).select("doc_id", "dl", (F.col("pos0") + 1).alias("ord"), "tok")
+
+
+def _doc_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """entity_postings-shaped doc-level token index: role=head, ann_id=0,
+    score=1. AND/OR over it = boolean doc algebra (SURVEY.md J1/J2)."""
+    dt = _doc_tokens(spark, sf_dir).filter(F.col("tok").isin(VOCAB))
+    return dt.select(
+        F.lit("type_name").alias("idx_kind"),
+        F.lit("Token").alias("type"),
+        F.col("tok").alias("key"),
+        F.lit("head").alias("role"),
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.lit(0).cast("long").alias("ann_id"),
+        F.lit(1.0).alias("score"),
+    ).dropDuplicates(["key", "doc_id"])
+
+
+def _tf_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """token-frequency postings: ann_id = hash(token), score = tf — OR over
+    it sums per-doc tf mass, the relevance-ranking shape (SURVEY.md A1)."""
+    dt = _doc_tokens(spark, sf_dir).filter(F.col("tok").isin(VOCAB))
+    tf = dt.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    return tf.select(
+        F.lit("type_name").alias("idx_kind"),
+        F.lit("Token").alias("type"),
+        F.col("tok").alias("key"),
+        F.lit("head").alias("role"),
+        F.col("doc_id").cast("string").alias("doc_id"),
+        (md5_int60(F.col("tok")) % 1_000_000).alias("ann_id"),
+        F.col("tf").cast("double").alias("score"),
+    )
+
+
+def _ht_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """head/tail postings: token occurrence in the first half of the doc →
+    head role, second half → tail (exercises the pair query, SURVEY.md J3)."""
+    dt = _doc_tokens(spark, sf_dir).filter(F.col("tok").isin(VOCAB))
+    role = F.when(F.col("ord") * 2 <= F.col("dl"), "head").otherwise("tail")
+    return dt.select(
+        F.lit("type_name").alias("idx_kind"),
+        F.lit("Token").alias("type"),
+        F.col("tok").alias("key"),
+        role.alias("role"),
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.lit(0).cast("long").alias("ann_id"),
+        F.lit(1.0).alias("score"),
+    ).dropDuplicates(["key", "role", "doc_id"])
+
+
+_HT_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({TOKS_SQL}) AS tok,
+         generate_subscripts({TOKS_SQL}, 1) AS ord,
+         len({TOKS_SQL}) AS dl
+  FROM documents
+)"""
+
+
+# --------------------------------------------------------------------------
+# queries
+# --------------------------------------------------------------------------
+
+def q_spec_and_or(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """spec compiler: spark AND (join OR merge) → doc ids."""
+    postings = _doc_postings(spark, sf_dir)
+    tree = (
+        "AND",
+        (
+            ("type_name", ("Token", "spark")),
+            ("OR", (("type_name", ("Token", "join")), ("type_name", ("Token", "merge")))),
+        ),
+    )
+    out = spec.evaluate_single(postings, tree)
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"))
+
+
+def q_spec_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pair query: (spark.head ∩ join.tail) ∪ (join.head ∩ spark.tail)."""
+    postings = _ht_postings(spark, sf_dir)
+    out = spec.evaluate_pair(
+        postings, ("type_name", ("Token", "spark")), ("type_name", ("Token", "join"))
+    )
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"))
+
+
+def q_rel_relevance_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rel pipeline sort+paginate: relevance = Σ tf, page [0,20)."""
+    postings = _tf_postings(spark, sf_dir)
+    tree = ("OR", tuple(("type_name", ("Token", t)) for t in VOCAB[:3]))
+    hits = spec.evaluate_single(postings, tree)
+    page = rel.sorted_page(rel.paper_scores(hits), None, "relevance", 0, 20)
+    return page.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "relevance", "rank"
+    )
+
+
+def q_tpch_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+def q_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, orders = _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "orders")
+    rev = li.groupBy("l_orderkey").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+    )
+    return (
+        rev.join(orders, rev.l_orderkey == orders.o_orderkey)
+        .select(F.col("o_orderkey").alias("orderkey"), "revenue", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("orderkey").asc())
+        .limit(20)
+    )
+
+
+def q_supplier_rank_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sup = _t(spark, sf_dir, "supplier")
+    w = W.partitionBy("s_nationkey").orderBy(F.col("s_acctbal").desc(), F.col("s_suppkey").asc())
+    return (
+        sup.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .select("s_nationkey", "s_suppkey", F.round("s_acctbal", 2).alias("acctbal"), "rn")
+    )
+
+
+def q_rrf_fusion_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    by_price = retrieval.rank_by(orders, "o_totalprice", key="o_orderkey", ascending=False)
+    by_date = retrieval.rank_by(orders, "o_orderdate", key="o_orderkey", ascending=True)
+    fused = retrieval.rrf_fuse(by_price, by_date, key="o_orderkey", top_k=100)
+    return fused.select("o_orderkey", "rank_a", "rank_b", "rrf")
+
+
+def q_two_hop_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust, sup, nat = (_t(spark, sf_dir, x) for x in ("customer", "supplier", "nation"))
+    return (
+        cust.join(sup, cust.c_nationkey == sup.s_nationkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+def q_freq_cutoff_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    cnt = part.groupBy("p_brand").agg(F.count(F.lit(1)).alias("cnt"))
+    w = W.partitionBy()
+    return cnt.withColumn("max_cnt", F.max("cnt").over(w)).filter(
+        F.col("cnt") >= 0.5 * F.col("max_cnt")
+    ).select("p_brand", "cnt", "max_cnt")
+
+
+def q_json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.select((k % 10).alias("k_mod")).groupBy("k_mod").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+def q_event_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("value_sum"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+def q_pivot_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .select("user_id", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in types])
+    )
+
+
+def q_hourly_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    out = streaming_events.windowed_counts(ev, "1 hour")
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        "event_type",
+        "n",
+        "value_sum",
+    )
+
+
+def q_sessionize_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    gap = epoch - F.lag(epoch).over(w)
+    return (
+        ev.withColumn("new_sess", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+        .groupBy("user_id")
+        .agg(F.sum("new_sess").alias("n_sessions"), F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+def q_cooccurrence_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dt = (
+        _doc_tokens(spark, sf_dir)
+        .filter(F.col("tok").isin(VOCAB))
+        .select("doc_id", "tok")
+        .distinct()
+    )
+    a = dt.select("doc_id", F.col("tok").alias("n1"))
+    b = dt.select("doc_id", F.col("tok").alias("n2"))
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("n1") < F.col("n2"))
+        .withColumn("sent_idx", F.lit(0))
+        .withColumn("score", F.lit(1.0))
+    )
+    out = materialize.salted_pair_counts(pairs, ["n1", "n2"])
+    return out.select("n1", "n2", "support")
+
+
+def q_odds_ratio_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dt = _doc_tokens(spark, sf_dir).filter(F.col("tok").isin(VOCAB))
+    mentions = dt.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.lit(0).alias("sent_idx"),
+        F.col("tok").alias("name"),
+    )
+    sentences = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"), F.lit(0).alias("sent_idx")
+    )
+    cont = extractors.pair_contingency(mentions, sentences)
+    return cont.select("n1", "n2", "a", "b", "c", "d", "odds_ratio", "ci_low", "ci_high")
+
+
+def q_exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_duplicates(_t(spark, sf_dir, "documents"))
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    sh = dedup.shingles(docs, 3)
+    sigs = dedup.minhash_signatures(sh, 8)
+    return sigs.select("doc_id", F.posexplode("sig").alias("hash_idx", "minhash"))
+
+
+def q_lsh_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    sh = dedup.shingles(docs, 3)
+    cands = dedup.lsh_candidate_pairs(dedup.minhash_signatures(sh, 8), 4, 2)
+    return dedup.jaccard_pairs(sh, cands)
+
+
+def q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return dedup.simhash(docs, 16)
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return retrieval.cosine_top_k(emb, qvec, top_k=10)
+
+
+def q_bm25_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    tp = retrieval.build_term_postings(docs, "doc_id", "text")
+    n_docs = docs.count()
+    avgdl = tp.select("doc_id", "dl").distinct().agg(F.avg("dl")).first()[0]
+    return retrieval.bm25_score(tp, ["spark", "join", "window"], n_docs, float(avgdl))
+
+
+def q_lang_id_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.language_id(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "pred_lang", "lang_hits"
+    )
+
+
+def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.quality_score(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "n_tokens", "avg_token_len", "punct_ratio", "stopword_ratio", "quality"
+    )
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.token_counts(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "ws_tokens", "bpe_tokens"
+    )
+
+
+def q_fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.fingerprint(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "fingerprint"
+    )
+
+
+def q_mesh_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part").filter(F.col("p_partkey") >= 2)
+    edges = part.select(
+        F.col("p_partkey").cast("string").alias("src"),
+        F.floor(F.col("p_partkey") / 2).cast("long").cast("string").alias("dst"),
+    )
+    out = graph.bfs_subgraph(edges, ["1"], max_depth=3, direction="in")
+    return out.select(F.col("node").cast("long").alias("node"), "depth")
+
+
+def q_orders_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = W.orderBy(F.col("o_orderdate").desc(), F.col("o_orderkey").desc())
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") > 100) & (F.col("rn") <= 120))
+        .select("o_orderkey", "rn")
+    )
+
+
+def q_anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust, orders = _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey")
+
+
+def q_semi_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust, orders = _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    big = orders.filter(F.col("o_totalprice") > 100_000)
+    return cust.join(big, cust.c_custkey == big.o_custkey, "left_semi").select("c_custkey")
+
+
+def q_distinct_union_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust, sup = _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "supplier")
+    return (
+        cust.select(F.col("c_nationkey").alias("nationkey"))
+        .union(sup.select(F.col("s_nationkey")))
+        .distinct()
+    )
+
+
+def q_market_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust, nat, reg = (_t(spark, sf_dir, x) for x in ("customer", "nation", "region"))
+    return (
+        cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("sum_acctbal"),
+        )
+    )
+
+
+def q_top_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    w = W.partitionBy("p_brand").orderBy(F.col("p_retailprice").desc(), F.col("p_partkey").asc())
+    return (
+        part.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("p_brand", "p_partkey", F.round("p_retailprice", 2).alias("price"), "rn")
+    )
+
+
+# ----- rows-only (non-SQL-expressible) --------------------------------------
+
+def q_kg_pipeline_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out_dir = os.path.join(tempfile.gettempdir(), "spark_graft_kg_gate")
+    tables = runner.run_kg_pipeline(spark, out_dir, n_docs=120, resume=True)
+    return (
+        tables["triples"]
+        .groupBy("annotator")
+        .agg(F.count(F.lit(1)).alias("n_triples"))
+        .orderBy("annotator")
+    )
+
+
+def q_hgvsp_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pubmedkb_web_spark.functions.hgvsp import parse_hgvsp_col
+
+    cases = [
+        "p.V600E", "p.Val600Glu", "p.(Arg97fs)", "p.Met1ext-5", "p.Ter110GlnextTer17",
+        "p.Cys28delinsTrpVal", "p.Lys23_Val25del", "p.Gly4dup", "p.Lys2_Gly3insGlnSerLys",
+        "p.Trp26Ter", "p.=", "garbage",
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], "hgvsp string")
+    parsed = df.select("hgvsp", parse_hgvsp_col(F.col("hgvsp")).alias("p"))
+    return parsed.select("hgvsp", "p.kind", "p.ref_aa", "p.pos_start", "p.alt_aa", "p.text")
+
+
+def q_fuzzy_nen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ed = fixtures.entity_dict_df(spark)
+    names = nen.fuzzy_names(ed, "p.v600e", min_similarity=0.7)
+    return nen.ids_by_name(ed, names)
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = multimodal.synthetic_media(spark, 60)
+    return multimodal.extract_features(media, fake=True).select(
+        "media_id", "media_type", "n_bytes", "checksum"
+    )
+
+
+def q_ann_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 1).first()["embedding"]]
+    return similarity.ann_bucketed_top_k(emb, qvec, top_k=10)
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: Rel relevance page over sf0.001 documents token postings."""
+    return q_rel_relevance_page(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "spec_and_or": q_spec_and_or,
+        "spec_pair": q_spec_pair,
+        "rel_relevance_page": q_rel_relevance_page,
+        "tpch_pricing_summary": q_tpch_pricing_summary,
+        "top_revenue_orders": q_top_revenue_orders,
+        "supplier_rank_per_nation": q_supplier_rank_per_nation,
+        "rrf_fusion_orders": q_rrf_fusion_orders,
+        "two_hop_pairs": q_two_hop_pairs,
+        "freq_cutoff_brands": q_freq_cutoff_brands,
+        "json_extract_events": q_json_extract_events,
+        "event_type_stats": q_event_type_stats,
+        "pivot_event_matrix": q_pivot_event_matrix,
+        "hourly_event_windows": q_hourly_event_windows,
+        "sessionize_users": q_sessionize_users,
+        "cooccurrence_tokens": q_cooccurrence_tokens,
+        "odds_ratio_pairs": q_odds_ratio_pairs,
+        "exact_dedup_docs": q_exact_dedup_docs,
+        "minhash_signatures": q_minhash_signatures,
+        "lsh_near_dup_pairs": q_lsh_near_dup_pairs,
+        "simhash_docs": q_simhash_docs,
+        "cosine_topk": q_cosine_topk,
+        "bm25_docs": q_bm25_docs,
+        "lang_id_docs": q_lang_id_docs,
+        "quality_scores": q_quality_scores,
+        "token_counts": q_token_counts,
+        "fingerprint_docs": q_fingerprint_docs,
+        "mesh_bfs": q_mesh_bfs,
+        "orders_page": q_orders_page,
+        "anti_join_customers": q_anti_join_customers,
+        "semi_join_customers": q_semi_join_customers,
+        "distinct_union_nations": q_distinct_union_nations,
+        "market_join": q_market_join,
+        "top_parts_per_brand": q_top_parts_per_brand,
+        # rows-only (no SQL oracle possible)
+        "kg_pipeline_triples": q_kg_pipeline_triples,
+        "hgvsp_parse": q_hgvsp_parse,
+        "fuzzy_nen": q_fuzzy_nen,
+        "multimodal_features": q_multimodal_features,
+        "ann_cosine_lsh": q_ann_cosine_lsh,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# --------------------------------------------------------------------------
+# oracles
+# --------------------------------------------------------------------------
+
+def _minhash_sql(limit: int, terms: str) -> str:
+    mins = ",\n    ".join(
+        f"min((h * {affine_params(i)[0]} + {affine_params(i)[1]}) % {M31}) AS mh{i}"
+        for i in range(8)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({TOKS_SQL}) AS tok, generate_subscripts({TOKS_SQL}, 1) AS ord
+  FROM documents WHERE doc_id < {limit}
+),
+sh AS (
+  SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS shingle
+  FROM toks a
+  JOIN toks b ON a.doc_id = b.doc_id AND b.ord = a.ord + 1
+  JOIN toks c ON a.doc_id = c.doc_id AND c.ord = a.ord + 2
+),
+h AS (SELECT doc_id, {MD5_SQL.format(x='shingle')} % {M31} AS h FROM sh),
+m AS (SELECT doc_id, {mins} FROM h GROUP BY doc_id)
+{terms}"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    vocab_in = ", ".join(f"'{v}'" for v in VOCAB)
+    has_tok = (
+        "SELECT DISTINCT doc_id FROM toks WHERE tok = '{t}'"
+    )
+    lang_cases = []
+    for lang, words in sorted(textstats.LANG_PROFILES.items()):
+        inlist = ", ".join(f"'{w}'" for w in words)
+        lang_cases.append((lang, inlist))
+
+    sql: dict[str, str] = {}
+
+    sql["spec_and_or"] = f"""
+{_HT_SQL}
+SELECT doc_id FROM ({has_tok.format(t='spark')})
+INTERSECT
+(SELECT doc_id FROM ({has_tok.format(t='join')}) UNION SELECT doc_id FROM ({has_tok.format(t='merge')}))
+"""
+
+    sql["spec_pair"] = f"""
+{_HT_SQL},
+roles AS (
+  SELECT DISTINCT doc_id, tok,
+         CASE WHEN ord * 2 <= dl THEN 'head' ELSE 'tail' END AS role
+  FROM toks WHERE tok IN ({vocab_in})
+)
+SELECT doc_id FROM roles WHERE tok='spark' AND role='head'
+  AND doc_id IN (SELECT doc_id FROM roles WHERE tok='join' AND role='tail')
+UNION
+SELECT doc_id FROM roles WHERE tok='join' AND role='head'
+  AND doc_id IN (SELECT doc_id FROM roles WHERE tok='spark' AND role='tail')
+"""
+
+    sql["rel_relevance_page"] = f"""
+{_HT_SQL},
+tf AS (
+  SELECT doc_id, tok, count(*)::DOUBLE AS tf FROM toks
+  WHERE tok IN ('spark', 'join', 'merge') GROUP BY doc_id, tok
+),
+rel AS (SELECT doc_id, round(sum(tf), 6) AS relevance FROM tf GROUP BY doc_id),
+ranked AS (
+  -- tiebreak on doc_id as VARCHAR: the engine's postings carry string
+  -- doc ids, so its total order is lexicographic
+  SELECT doc_id, relevance,
+         row_number() OVER (ORDER BY relevance DESC, CAST(doc_id AS VARCHAR) DESC) AS rank
+  FROM rel
+)
+SELECT doc_id, relevance, rank::INT AS rank FROM ranked WHERE rank <= 20
+"""
+
+    sql["tpch_pricing_summary"] = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_discount)::DOUBLE, 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+    sql["top_revenue_orders"] = """
+WITH rev AS (
+  SELECT l_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT o_orderkey AS orderkey, revenue, o_orderpriority
+FROM rev JOIN orders ON l_orderkey = o_orderkey
+ORDER BY revenue DESC, orderkey ASC LIMIT 20
+"""
+
+    sql["supplier_rank_per_nation"] = """
+SELECT s_nationkey, s_suppkey, round(s_acctbal, 2) AS acctbal, rn FROM (
+  SELECT s_nationkey, s_suppkey, s_acctbal,
+         row_number() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey ASC)::INT AS rn
+  FROM supplier
+) WHERE rn <= 2
+"""
+
+    sql["rrf_fusion_orders"] = """
+WITH a AS (
+  SELECT o_orderkey, row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey ASC)::INT AS rank_a
+  FROM orders
+),
+b AS (
+  SELECT o_orderkey, row_number() OVER (ORDER BY o_orderdate ASC, o_orderkey ASC)::INT AS rank_b
+  FROM orders
+),
+f AS (
+  SELECT coalesce(a.o_orderkey, b.o_orderkey) AS o_orderkey, rank_a, rank_b,
+         round(coalesce(1.0 / (rank_a + 61), 0) + coalesce(1.0 / (rank_b + 61), 0), 8) AS rrf
+  FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey
+)
+SELECT * FROM f ORDER BY rrf DESC, o_orderkey ASC LIMIT 100
+"""
+
+    sql["two_hop_pairs"] = """
+SELECT n_name, count(*) AS n_pairs
+FROM customer JOIN supplier ON c_nationkey = s_nationkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+    sql["freq_cutoff_brands"] = """
+WITH c AS (SELECT p_brand, count(*) AS cnt FROM part GROUP BY p_brand)
+SELECT p_brand, cnt, max(cnt) OVER () AS max_cnt FROM c
+QUALIFY cnt >= 0.5 * max(cnt) OVER ()
+"""
+
+    sql["json_extract_events"] = """
+SELECT (json_extract_string(props, '$.k')::BIGINT) % 10 AS k_mod, count(*) AS n
+FROM events GROUP BY 1
+"""
+
+    sql["event_type_stats"] = """
+SELECT event_type, count(*) AS n, round(sum(value), 2) AS value_sum,
+       count(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type
+"""
+
+    sql["pivot_event_matrix"] = """
+SELECT user_id,
+       sum(CASE WHEN event_type='click' THEN 1 ELSE 0 END)::BIGINT AS click,
+       sum(CASE WHEN event_type='error' THEN 1 ELSE 0 END)::BIGINT AS error,
+       sum(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END)::BIGINT AS purchase,
+       sum(CASE WHEN event_type='signup' THEN 1 ELSE 0 END)::BIGINT AS signup,
+       sum(CASE WHEN event_type='view' THEN 1 ELSE 0 END)::BIGINT AS view
+FROM events GROUP BY user_id
+"""
+
+    sql["hourly_event_windows"] = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+       event_type, count(*) AS n, round(sum(value), 4) AS value_sum
+FROM events GROUP BY 1, 2
+"""
+
+    sql["sessionize_users"] = """
+WITH g AS (
+  SELECT user_id,
+         epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+  FROM events
+)
+SELECT user_id,
+       sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)::BIGINT AS n_sessions,
+       count(*) AS n_events
+FROM g GROUP BY user_id
+"""
+
+    sql["cooccurrence_tokens"] = f"""
+{_HT_SQL},
+dt AS (SELECT DISTINCT doc_id, tok FROM toks WHERE tok IN ({vocab_in}))
+SELECT a.tok AS n1, b.tok AS n2, count(*) AS support
+FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.tok < b.tok
+GROUP BY 1, 2
+"""
+
+    sql["odds_ratio_pairs"] = f"""
+{_HT_SQL},
+dt AS (SELECT DISTINCT doc_id, tok FROM toks WHERE tok IN ({vocab_in})),
+nc AS (SELECT tok, count(*) AS nc FROM dt GROUP BY tok),
+tot AS (SELECT count(*) AS n FROM documents),
+pa AS (
+  SELECT a.tok AS n1, b.tok AS n2, count(*) AS a
+  FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.tok < b.tok GROUP BY 1, 2
+),
+cont AS (
+  SELECT n1, n2, a, c1.nc - a AS b, c2.nc - a AS c,
+         (SELECT n FROM tot) - a - (c1.nc - a) - (c2.nc - a) AS d
+  FROM pa JOIN nc c1 ON pa.n1 = c1.tok JOIN nc c2 ON pa.n2 = c2.tok
+)
+SELECT n1, n2, a, b, c, d,
+  round(exp(ln(((a+0.5)*(d+0.5))/((b+0.5)*(c+0.5)))), 4) AS odds_ratio,
+  round(exp(ln(((a+0.5)*(d+0.5))/((b+0.5)*(c+0.5)))
+        - 1.96*sqrt(1/(a+0.5)+1/(b+0.5)+1/(c+0.5)+1/(d+0.5))), 4) AS ci_low,
+  round(exp(ln(((a+0.5)*(d+0.5))/((b+0.5)*(c+0.5)))
+        + 1.96*sqrt(1/(a+0.5)+1/(b+0.5)+1/(c+0.5)+1/(d+0.5))), 4) AS ci_high
+FROM cont
+"""
+
+    sql["exact_dedup_docs"] = """
+SELECT sha256(text) AS content_hash, min(doc_id) AS canonical_id, count(*) AS n_docs
+FROM documents GROUP BY 1
+"""
+
+    unpivot = " UNION ALL ".join(
+        f"SELECT doc_id, {i} AS hash_idx, mh{i} AS minhash FROM m" for i in range(8)
+    )
+    sql["minhash_signatures"] = _minhash_sql(100, unpivot)
+
+    band_joins = " UNION ".join(
+        f"SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM m a JOIN m b "
+        f"ON a.mh{2*i} = b.mh{2*i} AND a.mh{2*i+1} = b.mh{2*i+1} AND a.doc_id < b.doc_id"
+        for i in range(4)
+    )
+    sql["lsh_near_dup_pairs"] = _minhash_sql(
+        300,
+        f""",
+cand AS ({band_joins}),
+sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+  FROM cand c JOIN sh x ON x.doc_id = c.doc_a JOIN sh y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT i.doc_a, i.doc_b,
+       round(n_inter::DOUBLE / (za.n_sh + zb.n_sh - n_inter), 6) AS jaccard
+FROM inter i JOIN sz za ON za.doc_id = i.doc_a JOIN sz zb ON zb.doc_id = i.doc_b
+""",
+    )
+
+    sql["simhash_docs"] = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({TOKS_SQL}) AS tok FROM documents WHERE doc_id < 200
+),
+h AS (SELECT doc_id, {MD5_SQL.format(x='tok')} AS h FROM toks),
+bits AS (
+  SELECT doc_id, b, sum(((h >> b) % 2) * 2 - 1) AS s
+  FROM h, (SELECT unnest(range(16)) AS b) GROUP BY doc_id, b
+)
+SELECT doc_id, sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
+FROM bits GROUP BY doc_id
+"""
+
+    sql["cosine_topk"] = """
+WITH q AS (SELECT embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       round(list_cosine_similarity(embedding::DOUBLE[], (SELECT e FROM q)), 6) AS cos_sim
+FROM embeddings
+ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
+"""
+
+    sql["bm25_docs"] = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({TOKS_SQL}) AS tok, len({TOKS_SQL}) AS dl FROM documents
+),
+tp AS (SELECT tok, doc_id, dl, count(*) AS tf FROM toks GROUP BY 1, 2, 3),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         (SELECT avg(dl) FROM (SELECT DISTINCT doc_id, dl FROM tp))::DOUBLE AS avgdl
+),
+hits AS (SELECT * FROM tp WHERE tok IN ('spark', 'join', 'window')),
+dfc AS (SELECT tok, count(DISTINCT doc_id) AS df FROM hits GROUP BY tok)
+SELECT h.doc_id,
+       round(sum(
+         ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+         * (h.tf * 2.5) / (h.tf + 1.5 * (1 - 0.75 + 0.75 * h.dl / s.avgdl))
+       ), 6) AS bm25
+FROM hits h JOIN dfc d ON h.tok = d.tok CROSS JOIN stats s
+GROUP BY h.doc_id
+"""
+
+    hit_sums = ",\n       ".join(
+        f"sum(CASE WHEN tok IN ({inlist}) THEN 1 ELSE 0 END) AS h_{lang}"
+        for lang, inlist in lang_cases
+    )
+    argmax = (
+        "CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und' "
+        "WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr THEN 'de' "
+        "WHEN h_en >= h_es AND h_en >= h_fr THEN 'en' "
+        "WHEN h_es >= h_fr THEN 'es' ELSE 'fr' END"
+    )
+    sql["lang_id_docs"] = f"""
+{_HT_SQL},
+hits AS (SELECT doc_id, {hit_sums} FROM toks GROUP BY doc_id)
+SELECT doc_id, {argmax} AS pred_lang, greatest(h_de, h_en, h_es, h_fr)::BIGINT AS lang_hits
+FROM hits
+"""
+
+    stop_in = ", ".join(f"'{w}'" for w in textstats.STOPWORDS)
+    sql["quality_scores"] = f"""
+{_HT_SQL},
+agg AS (
+  SELECT doc_id, count(*)::BIGINT AS n_tokens,
+         sum(CASE WHEN tok IN ({stop_in}) THEN 1 ELSE 0 END)::BIGINT AS n_stop
+  FROM toks GROUP BY doc_id
+),
+base AS (
+  SELECT d.doc_id, a.n_tokens,
+         length(d.text)::BIGINT AS n_chars,
+         (length(d.text) - length(regexp_replace(d.text, '[^\\w\\s]', '', 'g')))::BIGINT AS n_punct,
+         a.n_stop
+  FROM documents d JOIN agg a ON d.doc_id = a.doc_id
+),
+feat AS (
+  SELECT doc_id, n_tokens,
+         round(n_chars::DOUBLE / greatest(n_tokens, 1), 6) AS avg_token_len,
+         round(n_punct::DOUBLE / greatest(n_chars, 1), 6) AS punct_ratio,
+         round(n_stop::DOUBLE / greatest(n_tokens, 1), 6) AS stopword_ratio
+  FROM base
+)
+SELECT doc_id, n_tokens, avg_token_len, punct_ratio, stopword_ratio,
+       round(least(n_tokens / 100.0, 1.0) * 0.4
+             + (1 - least(punct_ratio * 5, 1.0)) * 0.3
+             + least(stopword_ratio * 4, 1.0) * 0.3, 6) AS quality
+FROM feat
+"""
+
+    sql["token_counts"] = f"""
+SELECT doc_id, len({TOKS_SQL})::BIGINT AS ws_tokens,
+       len(regexp_extract_all(text, '{textstats.BPE_ISH_PATTERN}'))::BIGINT AS bpe_tokens
+FROM documents
+"""
+
+    sql["fingerprint_docs"] = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({TOKS_SQL}) AS tok, generate_subscripts({TOKS_SQL}, 1) AS ord
+  FROM documents
+)
+SELECT doc_id, (sum(({MD5_SQL.format(x='tok')} % {M31}) * ord) % {M31})::BIGINT AS fingerprint
+FROM toks WHERE ord <= 64 GROUP BY doc_id
+"""
+
+    sql["mesh_bfs"] = """
+SELECT 1::BIGINT AS node, 0 AS depth
+UNION ALL SELECT p_partkey, 1 FROM part WHERE p_partkey BETWEEN 2 AND 3
+UNION ALL SELECT p_partkey, 2 FROM part WHERE p_partkey BETWEEN 4 AND 7
+UNION ALL SELECT p_partkey, 3 FROM part WHERE p_partkey BETWEEN 8 AND 15
+"""
+
+    sql["orders_page"] = """
+SELECT o_orderkey, rn FROM (
+  SELECT o_orderkey,
+         row_number() OVER (ORDER BY o_orderdate DESC, o_orderkey DESC)::INT AS rn
+  FROM orders
+) WHERE rn > 100 AND rn <= 120
+"""
+
+    sql["anti_join_customers"] = """
+SELECT c_custkey FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+    sql["semi_join_customers"] = """
+SELECT c_custkey FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)
+"""
+
+    sql["distinct_union_nations"] = """
+SELECT DISTINCT nationkey FROM (
+  SELECT c_nationkey AS nationkey FROM customer
+  UNION ALL SELECT s_nationkey FROM supplier
+)
+"""
+
+    sql["market_join"] = """
+SELECT r_name, count(*) AS n_customers, round(sum(c_acctbal), 2) AS sum_acctbal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+    sql["top_parts_per_brand"] = """
+SELECT p_brand, p_partkey, round(p_retailprice, 2) AS price, rn FROM (
+  SELECT p_brand, p_partkey, p_retailprice,
+         row_number() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey ASC)::INT AS rn
+  FROM part
+) WHERE rn <= 3
+"""
+
+    return sql

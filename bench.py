@@ -1,0 +1,98 @@
+"""Benchmark: headline queries + KG-pipeline throughput.
+
+Prints exactly ONE JSON line:
+  {"metric": "e2e_sec", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>, "triples_per_sec": ...}
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32),
+     SPARK_GRAFT_BENCH_DOCS (KG corpus size, default 4000).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "4000"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    import __spark_entry__ as E
+    from pubmedkb_web_spark.pipeline import runner
+    from pubmedkb_web_spark.session import build_session
+
+    spark = build_session(
+        app_name="bench", cores=cpus, shuffle_partitions=cpus, driver_memory="48g"
+    )
+
+    headline = [
+        "rel_relevance_page",
+        "spec_and_or",
+        "tpch_pricing_summary",
+        "top_revenue_orders",
+        "rrf_fusion_orders",
+        "odds_ratio_pairs",
+        "cooccurrence_tokens",
+        "sessionize_users",
+        "bm25_docs",
+        "minhash_signatures",
+        "lsh_near_dup_pairs",
+        "simhash_docs",
+        "cosine_topk",
+        "lang_id_docs",
+        "quality_scores",
+        "fingerprint_docs",
+        "exact_dedup_docs",
+        "mesh_bfs",
+    ]
+    qs = E.queries()
+    times: dict[str, float] = {}
+    total = 0.0
+    for name in headline:
+        t0 = time.time()
+        # count() drives the full plan without collecting wide rows
+        qs[name](spark, sf_dir).count()
+        dt = round(time.time() - t0, 3)
+        times[name] = dt
+        total += dt
+
+    # KG pipeline throughput: fresh build (no resume), triples/sec
+    out_dir = tempfile.mkdtemp(prefix="bench_kg_")
+    t0 = time.time()
+    tables = runner.run_kg_pipeline(spark, out_dir, n_docs=n_docs, resume=False)
+    n_triples = tables["triples"].count()
+    kg_dt = round(time.time() - t0, 3)
+    times["kg_pipeline"] = kg_dt
+    total += kg_dt
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    print(
+        json.dumps(
+            {
+                "metric": "e2e_sec",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+                "kg_docs": n_docs,
+                "kg_triples": n_triples,
+                "triples_per_sec": round(n_triples / kg_dt, 2) if kg_dt else None,
+                "cpus": cpus,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

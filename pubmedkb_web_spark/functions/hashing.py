@@ -55,12 +55,14 @@ def stable_id(*cols: Column) -> Column:
     return md5_int60(key_of(*cols))
 
 
-# Affine rehash family over the 60-bit base hash, for minhash signatures:
-# h_i(x) = (a_i * x + b_i) mod MERSENNE61. Parameters derived from i, fixed.
-MERSENNE61 = (1 << 61) - 1
+# Affine rehash family for minhash signatures: h_i(x) = (a_i·x̃ + b_i) mod M31
+# where x̃ = x mod M31. Both operands stay < 2³¹ so the product stays < 2⁶²:
+# no silent wraparound in Spark longs and no overflow error in DuckDB — the
+# same expression evaluates identically in all three runtimes.
+MERSENNE31 = (1 << 31) - 1
 
 
 def affine_params(i: int) -> tuple[int, int]:
-    a = (2 * i + 1) * 0x9E3779B9 + 1  # odd multiplier
-    b = i * 0x85EBCA6B + 0x7FEE
-    return a % MERSENNE61, b % MERSENNE61
+    a = ((2 * i + 1) * 0x9E3779B9 + 1) % MERSENNE31
+    b = (i * 0x85EBCA6B + 0x7FEE) % MERSENNE31
+    return (a or 1), b

@@ -1,0 +1,205 @@
+"""Deduplication operators over a document corpus.
+
+All four standard families, Spark-first:
+
+- exact:        sha256 groupBy — one shuffle on the content hash
+- MinHash+LSH:  shingle → K minhashes → band buckets → within-bucket pair
+                join — the classic near-dup pipeline (Broder 1997); pair
+                candidates only ever meet inside a band bucket, so the
+                quadratic blowup is confined to genuinely similar docs
+- SimHash:      sign-aggregated token hashes → B-bit fingerprint
+                (Charikar 2002); Hamming-near fingerprints = near-dups
+- n-gram Jaccard: exact set similarity for candidate verification
+
+Scale: shingling/hashing is map-only; the only shuffles are the per-doc
+signature groupBy (uniform key) and the band-bucket join (bucket sizes are
+bounded because identical-band docs are near-identical). No Python anywhere
+— every hash is a column expression (portable md5-int60 + Mersenne-31
+affine family, see functions/hashing.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import MERSENNE31, affine_params, md5_int60
+
+
+def _tokens(text_col: str) -> Column:
+    return F.split(F.lower(F.col(text_col)), r"\s+")
+
+
+def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical docs: (content_hash, canonical_id, n_dups).
+
+    canonical = min id; only groups with >1 member are duplicates but all
+    groups are returned (callers anti-join to drop dups).
+    """
+    return (
+        df.select(F.col(id_col).alias("doc_id"), F.sha2(F.col(text_col), 256).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("canonical_id"), F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def shingles(
+    df: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Distinct token n-gram shingles per doc: (doc_id, shingle).
+
+    JVM-side: sequence/transform over the token array, then explode.
+    """
+    toks = _tokens(text_col)
+    sh = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(sh).alias("shingle"))
+        .filter(F.size(F.split(F.col("shingle"), " ")) == n)
+        .distinct()
+    )
+
+
+def minhash_signatures(shingle_df: DataFrame, num_hashes: int = 8) -> DataFrame:
+    """(doc_id, sig array<bigint>): sig[i] = min over shingles of
+    (a_i·(h mod M31) + b_i) mod M31, h = md5_int60(shingle).
+
+    One groupBy per doc; all K mins computed in the same aggregation pass
+    (map-side partial min → tiny shuffle).
+    """
+    base = shingle_df.withColumn("h", md5_int60(F.col("shingle")) % MERSENNE31)
+    mins = []
+    for i in range(num_hashes):
+        a, b = affine_params(i)
+        mins.append(F.min((F.col("h") * a + b) % MERSENNE31).alias(f"mh{i}"))
+    wide = base.groupBy("doc_id").agg(*mins)
+    return wide.select(
+        "doc_id", F.array(*[F.col(f"mh{i}") for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, bands: int = 4, rows_per_band: int = 2
+) -> DataFrame:
+    """Band the signature, bucket-join within (band_idx, band_key):
+    (doc_a, doc_b) with doc_a < doc_b, distinct.
+
+    Docs only meet if they agree on every minhash of some band — the
+    LSH guarantee bounds bucket sizes, so the self-join never goes
+    quadratic in the corpus.
+    """
+    assert bands * rows_per_band <= 64
+    banded = signatures.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda bnd: F.struct(
+                    bnd.cast("int").alias("band_idx"),
+                    F.array_join(
+                        F.transform(
+                            F.slice(F.col("sig"), bnd * rows_per_band + 1, rows_per_band),
+                            lambda v: v.cast("string"),
+                        ),
+                        "_",
+                    ).alias("band_key"),
+                ),
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_idx", "band.band_key")
+    a = banded.select("band_idx", "band_key", F.col("doc_id").alias("doc_a"))
+    b = banded.select("band_idx", "band_key", F.col("doc_id").alias("doc_b"))
+    return (
+        a.join(b, ["band_idx", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def jaccard_pairs(shingle_df: DataFrame, candidate_pairs: DataFrame) -> DataFrame:
+    """Exact n-gram Jaccard for candidate pairs: |A∩B| / |A∪B|.
+
+    Intersection via shingle-equijoin restricted to the candidates; sizes
+    from per-doc shingle counts (broadcast if small, shuffle join if not).
+    """
+    sizes = shingle_df.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sa = shingle_df.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = shingle_df.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        candidate_pairs.join(sa, "doc_a")
+        .join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(za, "doc_a")
+        .join(zb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6
+            ).alias("jaccard"),
+        )
+    )
+
+
+def near_duplicates_minhash(
+    df: DataFrame,
+    threshold: float = 0.7,
+    n_shingle: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Full near-dup pipeline: shingle → minhash → LSH candidates → exact
+    Jaccard verification ≥ threshold. Returns (doc_a, doc_b, jaccard)."""
+    sh = shingles(df, n_shingle, id_col, text_col)
+    sigs = minhash_signatures(sh, num_hashes)
+    cands = lsh_candidate_pairs(sigs, bands, num_hashes // bands)
+    return jaccard_pairs(sh, cands).filter(F.col("jaccard") >= threshold)
+
+
+def simhash(
+    df: DataFrame, bits: int = 16, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, simhash): B-bit sign-aggregated fingerprint.
+
+    bit b of fingerprint = 1 iff Σ_tokens tf·(2·bit_b(h(token))−1) > 0.
+    Entirely integer column math → bit-identical in the DuckDB oracle.
+    """
+    tok = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(_tokens(text_col)).alias("token")
+    ).filter(F.length("token") > 0)
+    h = md5_int60(F.col("token"))
+    # integer bit extraction (shiftright; literal shift counts — the bit
+    # loop unrolls at plan time). Double division would lose precision
+    # above 2^53 and break oracle parity.
+    per_bit = tok.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("bit"),
+                        ((F.shiftright(h, b) % 2) * 2 - 1).cast("long").alias("sign"),
+                    )
+                    for b in range(bits)
+                ]
+            )
+        ).alias("bs"),
+    ).select("doc_id", "bs.bit", "bs.sign")
+    sums = per_bit.groupBy("doc_id", "bit").agg(F.sum("sign").alias("s"))
+    # shiftleft with a *column* shift count only exists in SQL form
+    bit_value = F.expr("shiftleft(CAST(1 AS BIGINT), bit)")
+    return sums.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("s") > 0, bit_value).otherwise(F.lit(0).cast("long"))
+        ).alias("simhash")
+    )

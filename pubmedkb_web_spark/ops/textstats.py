@@ -1,0 +1,109 @@
+"""Text analysis operators over the documents table.
+
+- language-ID: n-gram/stopword heuristic (no external models)
+- quality scoring: length / punctuation / stopword ratios
+- token counting: whitespace + a BPE-ish regex segmentation
+- document fingerprinting: positional rolling hash
+
+Everything is built-in column expressions (regexp/split/aggregate) —
+map-only, no shuffle, whole-stage-codegen'd, and each has an exact DuckDB
+oracle. These are deliberately simple deterministic heuristics: the point
+at 100 TB is the *plumbing* (one scan, pruned columns, no Python), not
+model quality.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import MERSENNE31, md5_int60
+
+# tiny per-language stopword profiles for the heuristic language ID
+LANG_PROFILES: dict[str, list[str]] = {
+    "en": ["the", "a", "and", "of", "in"],
+    "de": ["der", "die", "das", "und", "nicht"],
+    "es": ["el", "la", "los", "que", "y"],
+    "fr": ["le", "la", "les", "et", "des"],
+}
+
+# BPE-ish segmentation: word pieces, numbers, and single non-space symbols —
+# the GPT-2 pre-tokenizer shape, simplified to a portable regex.
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+STOPWORDS = ["the", "a", "and", "of", "in", "to", "is"]
+
+
+def _tokens(text_col: str) -> Column:
+    return F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: F.length(t) > 0)
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per doc: predicted language = argmax over profile-token hit counts
+    (ties broken by language code asc; all-zero → 'und')."""
+    toks = _tokens(text_col)
+    scores = []
+    for lang, words in sorted(LANG_PROFILES.items()):
+        hits = F.size(F.filter(toks, lambda t: t.isin(words)))
+        scores.append(F.struct((-hits).alias("neg"), F.lit(lang).alias("lang"), hits.alias("hits")))
+    best = F.array_min(F.array(*scores))
+    return df.withColumn(
+        "pred_lang",
+        F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und")),
+    ).withColumn("lang_hits", best["hits"].cast("long"))
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """length/punct/stopword quality features + a blended [0,1] score."""
+    toks = _tokens(text_col)
+    n_tokens = F.size(toks).cast("long")
+    n_chars = F.length(F.col(text_col)).cast("long")
+    avg_tok_len = F.round(n_chars / F.greatest(n_tokens, F.lit(1)), 6)
+    n_punct = (
+        n_chars - F.length(F.regexp_replace(F.col(text_col), r"[^\w\s]", ""))
+    ).cast("long")
+    punct_ratio = F.round(n_punct / F.greatest(n_chars, F.lit(1)), 6)
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS))).cast("long")
+    stop_ratio = F.round(n_stop / F.greatest(n_tokens, F.lit(1)), 6)
+    score = F.round(
+        F.least(n_tokens / F.lit(100.0), F.lit(1.0)) * 0.4
+        + (1 - F.least(punct_ratio * 5, F.lit(1.0))) * 0.3
+        + F.least(stop_ratio * 4, F.lit(1.0)) * 0.3,
+        6,
+    )
+    return df.select(
+        "*",
+        n_tokens.alias("n_tokens"),
+        avg_tok_len.alias("avg_token_len"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        score.alias("quality"),
+    )
+
+
+def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """whitespace token count + BPE-ish regex piece count."""
+    return df.select(
+        "*",
+        F.size(_tokens(text_col)).cast("long").alias("ws_tokens"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH_PATTERN), 0))
+        .cast("long")
+        .alias("bpe_tokens"),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", max_tokens: int = 64) -> DataFrame:
+    """Positional rolling fingerprint over the first ``max_tokens`` tokens:
+    Σ (pos+1)·(h(token) mod M31) mod M31 — pure integer math, exact in the
+    DuckDB oracle, order-sensitive (unlike a bag-of-words hash)."""
+    toks = F.slice(_tokens(text_col), 1, max_tokens)
+    acc = F.aggregate(
+        F.zip_with(
+            toks,
+            F.sequence(F.lit(1), F.greatest(F.size(toks), F.lit(1))),
+            lambda t, p: (md5_int60(t) % MERSENNE31) * p.cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda a, v: (a + F.coalesce(v, F.lit(0).cast("long"))) % MERSENNE31,
+    )
+    return df.select("*", acc.alias("fingerprint"))

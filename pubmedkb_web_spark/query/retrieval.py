@@ -28,12 +28,14 @@ BM25_B = 0.75
 
 def build_term_postings(corpus: DataFrame, doc_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """corpus → (term, doc_id, tf, dl). One explode + one groupBy."""
-    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: F.length(t) > 0
+    )
     exploded = corpus.select(
         F.col(doc_col).alias("doc_id"),
         F.size(toks).alias("dl"),
         F.explode(toks).alias("term"),
-    ).filter(F.length("term") > 0)
+    )
     return exploded.groupBy("term", "doc_id", "dl").agg(F.count(F.lit(1)).alias("tf"))
 
 

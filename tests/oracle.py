@@ -1,0 +1,191 @@
+"""Pure-Python oracle implementing the reference algorithms' semantics
+(SURVEY.md §5 item 2): mention detection (n-gram dictionary annotation per
+/root/reference/kb_utils.py:806-856 + overlap removal per
+/root/reference/server.py:1292-1334), pair extraction, and the entity-spec
+boolean algebra (/root/reference/kb_utils.py:167-216,1540-1682). Used to
+validate the Spark implementations on small corpora.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections import defaultdict
+
+from pubmedkb_web_spark import fixtures
+
+VARIANT_TYPES = {
+    "ProteinMutation", "DNAMutation", "SNP", "CopyNumberVariant", "Mutation", "AcidChange",
+}
+
+
+def md5_int60(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def build_dict_index(entity_pdf) -> dict[tuple[str, str], list[str]]:
+    """(name_lower, type) → ids ordered by (freq desc, id asc), deduped."""
+    acc: dict[tuple[str, str], list[tuple[int, str]]] = defaultdict(list)
+    for t, i, n, f in zip(entity_pdf["type"], entity_pdf["id"], entity_pdf["name"], entity_pdf["freq"]):
+        acc[(n.lower(), t)].append((-int(f), i))
+    out = {}
+    for k, pairs in acc.items():
+        seen, ids = set(), []
+        for _, i in sorted(pairs):
+            if i not in seen:
+                seen.add(i)
+                ids.append(i)
+        out[k] = ids
+    return out
+
+
+def split_sentences(content: str) -> list[str]:
+    import re
+
+    parts = re.split(r"\.\s+", content)
+    return [p[:-1] if p.endswith(".") else p for p in parts if p.strip(".")]
+
+
+def detect_mentions(content: str, dict_index, max_tokens: int) -> list[dict]:
+    """All mentions per the M1 semantics: n-gram spans (3-100 chars,
+    ≤max_tokens tokens), case-insensitive dict probe, greedy overlap keep."""
+    out = []
+    for sent_idx, sent in enumerate(split_sentences(content)):
+        toks = sent.split(" ")
+        cands = []
+        for i in range(len(toks)):
+            off = sum(len(t) for t in toks[:i]) + i
+            for n in range(1, max_tokens + 1):
+                if i + n > len(toks):
+                    break
+                span = " ".join(toks[i : i + n])
+                if not (3 <= len(span) <= 100):
+                    continue
+                for (nm, t), ids in dict_index.items():
+                    if nm == span.lower():
+                        cands.append(
+                            {"sent_idx": sent_idx, "offset": off, "name": span, "type": t, "ids": ids}
+                        )
+        cands.sort(key=lambda c: (c["offset"], -len(c["name"]), c["type"], c["name"]))
+        kept, last_end, kept_span = [], -1, None
+        for c in cands:
+            start, end = c["offset"], c["offset"] + len(c["name"])
+            if start >= last_end:
+                kept.append(c)
+                last_end, kept_span = end, (start, end)
+            elif kept_span == (start, end):
+                kept.append(c)
+        kept.sort(key=lambda c: (c["offset"], c["type"]))
+        for m_idx, c in enumerate(kept):
+            c["mention_idx"] = m_idx
+            out.append(c)
+    return out
+
+
+def corpus_mentions(n_docs: int, seed: int = 42) -> dict[str, list[dict]]:
+    ed = fixtures.build_entity_dict(seed)
+    idx = build_dict_index(ed)
+    max_tokens = max(len(n.split(" ")) for n in ed["name"])
+    out = {}
+    for i in range(n_docs):
+        repo, path, commit, lang, content = fixtures.gen_doc(seed, i)
+        doc_id = hashlib.sha256(f"{repo}\x00{path}\x00{commit}".encode()).hexdigest()[:16]
+        out[doc_id] = detect_mentions(content, idx, max_tokens)
+    return out
+
+
+# ---------------- entity-spec brute-force evaluator ------------------------
+
+def eval_spec(postings: list[dict], spec, pmid=None) -> set[tuple]:
+    """postings rows: {idx_kind,type,key,role,doc_id,ann_id}. Returns set of
+    (role, doc_id, ann_id) — reference AND/OR algebra."""
+    op = spec[0]
+    if op in ("type_id", "type_name"):
+        etype, key = spec[1]
+        types = VARIANT_TYPES if etype == "VARIANT" else {etype}
+        return {
+            (p["role"], p["doc_id"], p["ann_id"])
+            for p in postings
+            if p["idx_kind"] == op
+            and p["type"] in types
+            and p["key"] == key
+            and (pmid is None or p["doc_id"] == pmid)
+        }
+    sets = [eval_spec(postings, b, pmid) for b in spec[1]]
+    if op == "OR":
+        out = set()
+        for s in sets:
+            out |= s
+        return out
+    if op == "AND":
+        out = sets[0]
+        for s in sets[1:]:
+            out &= s
+        return out
+    raise ValueError(op)
+
+
+def eval_pair(postings, e1, e2, pmid=None) -> set[tuple]:
+    s1, s2 = eval_spec(postings, e1, pmid), eval_spec(postings, e2, pmid)
+
+    def d(a, b):
+        heads = {(doc, ann) for r, doc, ann in a if r == "head"}
+        tails = {(doc, ann) for r, doc, ann in b if r == "tail"}
+        return heads & tails
+
+    return d(s1, s2) | d(s2, s1)
+
+
+# ---------------- triple extraction oracle ---------------------------------
+
+PREDICATES = ["inhibits", "activates", "causes", "treats", "binds", "regulates"]
+
+
+def doc_triples(content: str, doc_id: str, dict_index, max_tokens: int) -> set[tuple]:
+    """Expected (subj, pred, obj, annotator, doc_id, sent_idx) set for the
+    deterministic extractors (co_occurrence + spacy_ore + openie_ore +
+    rbert_cre), mirroring pipeline/extractors.py semantics. Triple subj/obj
+    = top-ranked id of each mention (pre-canonicalization)."""
+    out = set()
+    mentions = detect_mentions(content, dict_index, max_tokens)
+    by_sent: dict[int, list[dict]] = defaultdict(list)
+    for m in mentions:
+        by_sent[m["sent_idx"]].append(m)
+    sents = split_sentences(content)
+    for sent_idx, ms in by_sent.items():
+        sent = sents[sent_idx]
+        for m1 in ms:
+            for m2 in ms:
+                if m1["offset"] >= m2["offset"]:
+                    continue
+                s_id, o_id = m1["ids"][0], m2["ids"][0]
+                out.add((s_id, "co_occurrence", o_id, "co_occurrence", doc_id, sent_idx))
+                h_end = m1["offset"] + len(m1["name"])
+                between = sent[h_end : m2["offset"]].strip()
+                btoks = between.split(" ") if between else [""]
+                if between in PREDICATES:
+                    out.add((s_id, between, o_id, "spacy_ore", doc_id, sent_idx))
+                found = [p for p in PREDICATES if p in btoks]
+                if len(found) == 1 and len(btoks) <= 5:
+                    out.add((s_id, found[0], o_id, "openie_ore", doc_id, sent_idx))
+                vt = VARIANT_TYPES
+                if (m1["type"] in vt and m2["type"] == "Disease") or (
+                    m2["type"] in vt and m1["type"] == "Disease"
+                ):
+                    h = md5_int60(
+                        "\x1f".join([doc_id, str(sent_idx), str(m1["offset"]), str(m2["offset"]), "cre"])
+                    )
+                    label = ["Cause-associated", "In-patient", "Appositive"][h % 3]
+                    out.add((s_id, label, o_id, "rbert_cre", doc_id, sent_idx))
+    return out
+
+
+def corpus_triples(n_docs: int, seed: int = 42) -> set[tuple]:
+    ed = fixtures.build_entity_dict(seed)
+    idx = build_dict_index(ed)
+    max_tokens = max(len(n.split(" ")) for n in ed["name"])
+    out = set()
+    for i in range(n_docs):
+        repo, path, commit, lang, content = fixtures.gen_doc(seed, i)
+        doc_id = hashlib.sha256(f"{repo}\x00{path}\x00{commit}".encode()).hexdigest()[:16]
+        out |= doc_triples(content, doc_id, idx, max_tokens)
+    return out

@@ -1,0 +1,71 @@
+"""Checkpoint/resume semantics (north rule): kill-after-stage-k resume →
+identical outputs; per-partition lineage + metrics recorded."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pubmedkb_web_spark.pipeline import runner
+
+
+def _collect_triples(tables):
+    return sorted(map(tuple, tables["triples"].collect()))
+
+
+def test_resume_identical_and_skips_recompute(spark, tmp_path):
+    out = str(tmp_path / "kb")
+    t1 = runner.run_kg_pipeline(spark, out, n_docs=60)
+    first = _collect_triples(t1)
+    pipe1 = t1["_pipeline"]
+    assert all(r.recomputed for r in pipe1.results.values())
+
+    # resume: everything cached, outputs byte-identical
+    t2 = runner.run_kg_pipeline(spark, out, n_docs=60)
+    pipe2 = t2["_pipeline"]
+    assert all(not r.recomputed for r in pipe2.results.values())
+    assert _collect_triples(t2) == first
+
+
+def test_kill_after_stage_k_resume(spark, tmp_path):
+    out = str(tmp_path / "kb")
+    t1 = runner.run_kg_pipeline(spark, out, n_docs=60)
+    first = _collect_triples(t1)
+
+    # simulate a crash after 'annotations': delete downstream markers
+    for stage in ("triples", "pair_stats", "chem_disease", "cgd_paths"):
+        os.remove(os.path.join(out, stage, runner.MARKER))
+    t2 = runner.run_kg_pipeline(spark, out, n_docs=60)
+    pipe2 = t2["_pipeline"]
+    assert not pipe2.results["annotations"].recomputed
+    assert pipe2.results["triples"].recomputed
+    assert _collect_triples(t2) == first
+
+
+def test_config_change_invalidates_downstream(spark, tmp_path):
+    out = str(tmp_path / "kb")
+    runner.run_kg_pipeline(spark, out, n_docs=40)
+    t2 = runner.run_kg_pipeline(spark, out, n_docs=50)  # new source fingerprint
+    assert all(r.recomputed for r in t2["_pipeline"].results.values() if r.name != "canonical_map")
+
+
+def test_lineage_and_partition_metrics(spark, tmp_path):
+    out = str(tmp_path / "kb")
+    t = runner.run_kg_pipeline(spark, out, n_docs=40)
+    with open(os.path.join(out, "triples", runner.MARKER)) as f:
+        meta = json.load(f)
+    assert meta["upstream"] == ["annotations", "canonical_map"]
+    assert meta["row_count"] == t["triples"].count()
+    assert meta["partitions"], "per-partition metrics required"
+    assert sum(p["rows"] for p in meta["partitions"]) == meta["row_count"]
+
+
+def test_invariant_sha256_on_all_derived_tables(spark, tmp_path):
+    out = str(tmp_path / "kb")
+    t = runner.run_kg_pipeline(spark, out, n_docs=40)
+    src = {r["doc_id"]: r["content_sha256"] for r in t["source"].select("doc_id", "content_sha256").collect()}
+    for name in ("sentences", "mentions", "annotations", "triples"):
+        rows = t[name].select("doc_id", "content_sha256").collect()
+        assert rows
+        for r in rows:
+            assert src[r["doc_id"]] == r["content_sha256"], name

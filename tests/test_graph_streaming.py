@@ -1,0 +1,81 @@
+"""MeSH-style BFS, chem-disease lookups, CGD 2-hop, and streaming parity."""
+
+from __future__ import annotations
+
+from pubmedkb_web_spark.query import graph
+from pubmedkb_web_spark.streaming import events as SE
+
+
+def test_bfs_min_depth(spark):
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("a", "c"), ("x", "y")],
+        "src string, dst string",
+    )
+    got = {r["node"]: r["depth"] for r in graph.bfs_subgraph(edges, ["a"], 3).collect()}
+    assert got == {"a": 0, "b": 1, "c": 1, "d": 2}
+
+
+def test_bfs_direction_in(spark):
+    edges = spark.createDataFrame([("child1", "root"), ("child2", "root")], "src string, dst string")
+    got = {r["node"]: r["depth"] for r in graph.bfs_subgraph(edges, ["root"], 2, "in").collect()}
+    assert got == {"root": 0, "child1": 1, "child2": 1}
+
+
+def test_chem_disease_three_paths(spark):
+    cd = spark.createDataFrame(
+        [
+            ("c1", "d1", "paper", "p1"), ("c1", "d1", "paper", "p2"),
+            ("c1", "d2", "paper", "p1"), ("c2", "d1", "paper", "p3"),
+            ("c1", "d1", "sentence", "p1"),
+        ],
+        "c string, d string, level string, doc_id string",
+    )
+    by_pair = graph.chem_disease_lookup(cd, c="c1", d="d1").collect()
+    assert len(by_pair) == 1 and by_pair[0]["n_docs"] == 2
+    by_c = graph.chem_disease_lookup(cd, c="c1").collect()
+    assert {r["d"] for r in by_c} == {"d1", "d2"}
+    by_d = graph.chem_disease_lookup(cd, d="d1").collect()
+    assert {r["c"] for r in by_d} == {"c1", "c2"}
+    sent = graph.chem_disease_lookup(cd, c="c1", d="d1", level="sentence").collect()
+    assert sent[0]["n_docs"] == 1
+
+
+def test_cgd_drug_discovery(small_kb):
+    paths = small_kb["cgd_paths"]
+    row = paths.limit(1).collect()
+    if not row:
+        return
+    d = row[0]["d"]
+    out = graph.cgd_drug_discovery(paths, d, top_k=5).collect()
+    assert out
+    scores = [r["cd_score"] for r in out]
+    assert scores == sorted(scores, reverse=True)
+    g = out[0]
+    assert len(g["genes"]) == len(g["gene_scores"])
+
+
+def test_streaming_batch_parity(spark, tmp_path):
+    """The same windowed_counts plan over readStream == over read (batch)."""
+    import datetime
+
+    rows = [
+        (1, datetime.datetime(2024, 1, 1, 10, 5), 1, "click", 1.0, "{}"),
+        (2, datetime.datetime(2024, 1, 1, 10, 55), 2, "click", 2.0, "{}"),
+        (3, datetime.datetime(2024, 1, 1, 11, 5), 1, "view", 3.0, "{}"),
+    ]
+    df = spark.createDataFrame(rows, SE.EVENTS_DDL)
+    path = str(tmp_path / "ev")
+    df.write.parquet(path)
+
+    batch = {(str(r["window_start"]), r["event_type"], r["n"], r["value_sum"])
+             for r in SE.windowed_counts(spark.read.parquet(path)).collect()}
+
+    stream = SE.read_events_stream(spark, path)
+    SE.run_to_memory(SE.windowed_counts(stream), "t_win")
+    streamed = {(str(r["window_start"]), r["event_type"], r["n"], r["value_sum"])
+                for r in spark.sql("SELECT * FROM t_win").collect()}
+    assert batch == streamed
+    assert batch == {
+        ("2024-01-01 10:00:00", "click", 2, 3.0),
+        ("2024-01-01 11:00:00", "view", 1, 3.0),
+    }

@@ -1,0 +1,165 @@
+"""Training-data ops: dedup, similarity, textstats, multimodal plumbing."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from pyspark.sql import functions as F
+
+from pubmedkb_web_spark.functions.hashing import MERSENNE31, affine_params
+from pubmedkb_web_spark.ops import dedup, multimodal, similarity, textstats
+
+
+def _docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),          # exact dup of 1
+        (3, "the quick brown fox jumps over the lazy cat"),          # near dup
+        (4, "completely different text about spark shuffles here"),
+        (5, "a of in to is the and padding words only here now"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_duplicates(spark):
+    out = {r["canonical_id"]: r["n_docs"] for r in dedup.exact_duplicates(_docs(spark)).collect()}
+    assert out[1] == 2
+    assert out[3] == 1
+
+
+def test_minhash_python_parity(spark):
+    df = _docs(spark)
+    sigs = {r["doc_id"]: list(r["sig"]) for r in dedup.minhash_signatures(dedup.shingles(df, 3)).collect()}
+
+    def py_sig(text):
+        toks = [t for t in text.lower().split() if t]
+        sh = {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+        hs = [int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % MERSENNE31 for s in sh]
+        out = []
+        for i in range(8):
+            a, b = affine_params(i)
+            out.append(min((a * h + b) % MERSENNE31 for h in hs))
+        return out
+
+    for did, text in [(1, _docs(spark).collect()[0]["text"])]:
+        assert sigs[did] == py_sig(text)
+    assert sigs[1] == sigs[2]  # identical docs → identical signatures
+    assert sigs[1] != sigs[4]
+
+
+def test_lsh_finds_near_dups(spark):
+    out = dedup.near_duplicates_minhash(_docs(spark), threshold=0.5)
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in out.collect()}
+    assert pairs[(1, 2)] == 1.0
+    assert all(j >= 0.5 for j in pairs.values())
+
+
+def test_simhash_similar_docs_close(spark):
+    out = {r["doc_id"]: r["simhash"] for r in dedup.simhash(_docs(spark)).collect()}
+    assert out[1] == out[2]
+    ham = bin(out[1] ^ out[3]).count("1")
+    ham_diff = bin(out[1] ^ out[4]).count("1")
+    assert ham <= ham_diff
+
+
+def test_cosine_topk_exact(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0]),
+        (3, [0.0, 1.0, 0.0]),
+        (4, [-1.0, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = similarity.cosine_top_k(emb, [1.0, 0.0, 0.0], top_k=3).collect()
+    assert [r["vec_id"] for r in got] == [1, 2, 3]
+    assert got[0]["cos_sim"] == 1.0
+    expect2 = 0.9 / math.sqrt(0.82)
+    assert abs(got[1]["cos_sim"] - round(expect2, 6)) < 1e-9
+
+
+def test_pandas_cosine_matches_jvm(spark):
+    import random
+
+    rng = random.Random(3)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(50)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = [rng.uniform(-1, 1) for _ in range(16)]
+    a = {(r["vec_id"], r["cos_sim"]) for r in similarity.cosine_top_k(emb, q, 10).collect()}
+    b = {(r["vec_id"], r["cos_sim"]) for r in similarity.cosine_top_k_pandas(emb, q, 10).collect()}
+    assert a == b
+
+
+def test_ann_bucket_recall_vs_exact(spark):
+    import random
+
+    rng = random.Random(5)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(200)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = rows[7][1]
+    exact = [r["vec_id"] for r in similarity.cosine_top_k(emb, q, 5).collect()]
+    approx = [r["vec_id"] for r in similarity.ann_bucketed_top_k(emb, q, 5, n_planes=6).collect()]
+    assert exact[0] == 7
+    assert 7 in approx  # the query vector itself must be found
+
+
+def test_embedding_near_duplicates(spark):
+    rows = [
+        (1, [1.0, 0.0]), (2, [0.999, 0.01]), (3, [0.0, 1.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {(r["doc_a"], r["doc_b"]) for r in similarity.embedding_near_duplicates(emb, 0.99, n_planes=4).collect()}
+    assert (1, 2) in out
+    assert all(p != (1, 3) for p in out)
+
+
+def test_language_id(spark):
+    rows = [
+        (1, "the cat and the dog of a house in town"),
+        (2, "der hund und die katze das nicht"),
+        (3, "xyzzy plugh qwerty"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["pred_lang"] for r in textstats.language_id(df).collect()}
+    assert out == {1: "en", 2: "de", 3: "und"}
+
+
+def test_quality_and_token_counts(spark):
+    df = spark.createDataFrame([(1, "The cat, the dog! And a bird.")], "doc_id long, text string")
+    q = textstats.quality_score(df).collect()[0]
+    assert q["n_tokens"] == 7
+    assert q["punct_ratio"] > 0
+    t = textstats.token_counts(df).collect()[0]
+    assert t["ws_tokens"] == 7
+    assert t["bpe_tokens"] == 11  # 7 words + , ! . and 'And a bird' splits
+
+
+def test_fingerprint_order_sensitive(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "gamma beta alpha"), (3, "alpha beta gamma")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["fingerprint"] for r in textstats.fingerprint(df).collect()}
+    assert out[1] == out[3]
+    assert out[1] != out[2]
+
+
+def test_multimodal_stub_and_plumbing(spark):
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"xx", fake=False)
+    media = multimodal.synthetic_media(spark, 30)
+    feats = multimodal.extract_features(media, fake=True).collect()
+    assert len(feats) == 30
+    for r in feats:
+        assert len(r["feat"]) == 8
+        assert r["checksum"]
+    frames = multimodal.sample_frames(media, every_ms=5000)
+    assert frames.count() > 0
+
+
+def test_media_features_deterministic(spark):
+    a = sorted(map(tuple, multimodal.extract_features(multimodal.synthetic_media(spark, 10), fake=True).drop("feat").collect()))
+    b = sorted(map(tuple, multimodal.extract_features(multimodal.synthetic_media(spark, 10), fake=True).drop("feat").collect()))
+    assert a == b

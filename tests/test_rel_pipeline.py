@@ -1,0 +1,122 @@
+"""Golden end-to-end /query_rel equivalents over the built KB.
+
+The spec trees reuse the reference's own test queries verbatim
+(/root/reference/client.py:68-110, kb_utils.py:2995-3016) — fixture ids
+were chosen to match (fixtures.py GOLDEN_*)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pubmedkb_web_spark import fixtures
+from pubmedkb_web_spark.query import rel, spec, summary
+
+
+def test_golden_single_entity(small_kb):
+    res = rel.run_rel(
+        small_kb["entity_postings"],
+        small_kb["annotations"],
+        small_kb["sentences"],
+        small_kb["meta"],
+        e1_spec=("type_id", ("VARIANT", fixtures.GOLDEN_SNP_ID)),
+        page_start=0,
+        page_end=10,
+    )
+    papers = res.papers.collect()
+    assert 0 < len(papers) <= 10
+    ranks = [p["rank"] for p in papers]
+    assert ranks == sorted(ranks)
+    rels = [p["relevance"] for p in papers]
+    assert rels == sorted(rels, reverse=True)
+    assert res.statistics["papers"] >= len(papers)
+    assert set(res.statistics["relations_by_annotator"]) <= {
+        "co_occurrence", "odds_ratio", "spacy_ore", "openie_ore", "rbert_cre",
+    }
+
+
+def test_golden_pair_with_pmid(small_kb):
+    """e1=(VARIANT, RS#...), e2=(Disease, MESH:D009369), pmid fixed
+    (client.py:77-86 shape)."""
+    pair_hits = spec.evaluate_pair(
+        small_kb["entity_postings"],
+        ("type_id", ("VARIANT", fixtures.GOLDEN_SNP_ID)),
+        ("type_id", ("Disease", fixtures.GOLDEN_DISEASE_ID)),
+    )
+    some = pair_hits.limit(1).collect()
+    if not some:  # tiny corpus may lack the exact pair; spec algebra still holds
+        return
+    pmid = some[0]["doc_id"]
+    res = rel.run_rel(
+        small_kb["entity_postings"],
+        small_kb["annotations"],
+        small_kb["sentences"],
+        small_kb["meta"],
+        e1_spec=("type_id", ("VARIANT", fixtures.GOLDEN_SNP_ID)),
+        e2_spec=("type_id", ("Disease", fixtures.GOLDEN_DISEASE_ID)),
+        pmid=pmid,
+        with_statistics=False,
+    )
+    docs = {r["doc_id"] for r in res.papers.collect()}
+    assert docs == {pmid}
+
+
+def test_golden_nested_or_and(small_kb):
+    """OR(AND(HGVS, CorrespondingGene), RS#) × Disease (client.py:88-109)."""
+    e1 = (
+        "OR",
+        (
+            (
+                "AND",
+                (
+                    ("type_id", ("ProteinMutation", fixtures.GOLDEN_HGVS_ID)),
+                    ("type_id", ("ProteinMutation", fixtures.GOLDEN_GENE_ID)),
+                ),
+            ),
+            ("type_id", ("VARIANT", fixtures.GOLDEN_SNP_ID)),
+        ),
+    )
+    res = rel.run_rel(
+        small_kb["entity_postings"],
+        small_kb["annotations"],
+        small_kb["sentences"],
+        small_kb["meta"],
+        e1_spec=e1,
+        e2_spec=("type_id", ("Disease", fixtures.GOLDEN_DISEASE_ID)),
+        with_statistics=False,
+    )
+    assert res.papers.count() >= 0  # plan compiles and runs end-to-end
+    hyd = res.relations
+    cols = set(hyd.columns)
+    assert {"sentence", "annotator", "confidence_value", "rank"} <= cols
+
+
+def test_sort_by_citation_and_impact(small_kb):
+    hits = spec.evaluate_single(
+        small_kb["entity_postings"], ("type_name", ("Gene", "braf"))
+    )
+    scores = rel.paper_scores(hits)
+    for key in ("citation", "year", "journal_impact"):
+        page = rel.sorted_page(scores, small_kb["meta"], key, 0, 5).collect()
+        vals = [p["sort_score"] for p in page]
+        assert vals == sorted(vals, reverse=True)
+
+
+def test_summary_page(small_kb):
+    hits = spec.evaluate_single(
+        small_kb["entity_postings"], ("type_name", ("Gene", "braf"))
+    )
+    page = rel.sorted_page(rel.paper_scores(hits), None, "relevance", 0, 10)
+    rows = [
+        r.asDict()
+        for r in rel.hydrate(page, hits, small_kb["annotations"], small_kb["sentences"]).collect()
+    ]
+    out = summary.summarize_page(rows)
+    assert out, "summary should select at least one relation"
+    annots = {s["annotator"] for s in out}
+    assert annots <= {"odds_ratio", "rbert_cre", "spacy_ore", "openie_ore"}
+    # deterministic
+    assert out == summary.summarize_page(rows)
+    for s in out:
+        assert s["text"]
+        for field, (a, b) in s["spans"].items():
+            assert 0 <= a <= b <= len(s["text"])

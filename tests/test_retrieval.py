@@ -1,0 +1,72 @@
+"""Retrieval fusion: BM25-as-join, RRF, cosine re-rank chain."""
+
+from __future__ import annotations
+
+import math
+
+from pubmedkb_web_spark.query import retrieval as R
+
+
+def _corpus(spark):
+    rows = [
+        ("d1", "spark join spark window"),
+        ("d2", "join merge sort"),
+        ("d3", "spark spark spark spark"),
+        ("d4", "totally unrelated words here"),
+    ]
+    return spark.createDataFrame(rows, "doc_id string, text string")
+
+
+def test_bm25_formula(spark):
+    corpus = _corpus(spark)
+    tp = R.build_term_postings(corpus)
+    n, avgdl = 4, (4 + 3 + 4 + 4) / 4
+    got = {r["doc_id"]: r["bm25"] for r in R.bm25_score(tp, ["spark"], n, avgdl).collect()}
+    assert set(got) == {"d1", "d3"}
+
+    def bm25(tf, dl):
+        idf = math.log(1 + (n - 2 + 0.5) / (2 + 0.5))
+        return idf * tf * 2.5 / (tf + 1.5 * (1 - 0.75 + 0.75 * dl / avgdl))
+
+    assert abs(got["d1"] - round(bm25(2, 4), 6)) < 1e-9
+    assert abs(got["d3"] - round(bm25(4, 4), 6)) < 1e-9
+    assert got["d3"] > got["d1"]
+
+
+def test_rrf_fusion(spark):
+    a = spark.createDataFrame([("d1", 1), ("d2", 2)], "doc_id string, rank int")
+    b = spark.createDataFrame([("d2", 1), ("d3", 2)], "doc_id string, rank int")
+    got = {r["doc_id"]: r["rrf"] for r in R.rrf_fuse(a, b).collect()}
+    assert abs(got["d2"] - round(1 / 63 + 1 / 62, 8)) < 1e-9
+    assert abs(got["d1"] - round(1 / 62, 8)) < 1e-9
+    assert abs(got["d3"] - round(1 / 63, 8)) < 1e-9
+    assert max(got, key=got.get) == "d2"
+
+
+def test_rank_by_tiebreak(spark):
+    df = spark.createDataFrame(
+        [("a", 5.0), ("b", 5.0), ("c", 1.0)], "doc_id string, s double"
+    )
+    ranks = {r["doc_id"]: r["rank"] for r in R.rank_by(df, "s").collect()}
+    assert ranks == {"a": 1, "b": 2, "c": 3}
+
+
+def test_retrieval_chain(spark):
+    """BM25 → impact-rank RRF → cosine re-rank (the /query_pubmed_qa chain
+    shape, SURVEY.md §3.3)."""
+    corpus = _corpus(spark)
+    tp = R.build_term_postings(corpus)
+    bm25 = R.bm25_score(tp, ["spark", "join"], 4, 3.75)
+    impact = spark.createDataFrame(
+        [("d1", 10.0), ("d2", 5.0), ("d3", 1.0), ("d4", 99.0)], "doc_id string, impact double"
+    )
+    fused = R.rrf_fuse(R.rank_by(bm25, "bm25"), R.rank_by(impact, "impact"), top_k=3)
+    emb = spark.createDataFrame(
+        [("d1", [1.0, 0.0]), ("d2", [0.5, 0.5]), ("d3", [0.0, 1.0]), ("d4", [0.9, 0.1])],
+        "doc_id string, embedding array<double>",
+    )
+    cands = fused.select("doc_id").join(emb, "doc_id")
+    out = R.cosine_top_k(cands, [1.0, 0.0], top_k=2, id_col="doc_id")
+    ids = [r["doc_id"] for r in out.collect()]
+    assert len(ids) == 2
+    assert ids[0] in {"d1", "d4"}
