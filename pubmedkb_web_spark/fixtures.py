@@ -63,7 +63,9 @@ def build_entity_dict(seed: int = SEED) -> pd.DataFrame:
     gene_names = ["braf"] + [f"gene{i}" for i in range(1, 25)]
     for rank, gname in enumerate(gene_names, start=1):
         gid = GOLDEN_GENE_ID if gname == "braf" else f"CorrespondingGene:{1000 + rank}"
-        freq = (100_000 if gname == "braf" else 0) + max(1, 1000 // rank)
+        # hot entity ≈100× the median dict frequency (FIXTURES.md §1) —
+        # enough to exercise salting without starving every other pair type
+        freq = (6_000 if gname == "braf" else 0) + max(1, 1000 // rank)
         add("Gene", gid, gname, freq)
         add("Gene", gid, gname.upper(), max(1, freq // 3))  # case alias
         if rank % 5 == 0:  # 1-char-edit alias for fuzzy-match fixtures
@@ -87,10 +89,10 @@ def build_entity_dict(seed: int = SEED) -> pd.DataFrame:
 
     # variants: the hot variant p.v600e (ProteinMutation) + SNPs; the golden
     # SNP id also exists under 'Mutation' to exercise umbrella dedup.
-    add("ProteinMutation", GOLDEN_HGVS_ID, "p.v600e", 50_000)
-    add("ProteinMutation", GOLDEN_GENE_ID, "p.v600e", 25_000)  # gene-constrained id
-    add("SNP", GOLDEN_SNP_ID, "rs113488022", 40_000)
-    add("Mutation", GOLDEN_SNP_ID, "rs113488022", 4_000)
+    add("ProteinMutation", GOLDEN_HGVS_ID, "p.v600e", 3_000)
+    add("ProteinMutation", GOLDEN_GENE_ID, "p.v600e", 1_500)  # gene-constrained id
+    add("SNP", GOLDEN_SNP_ID, "rs113488022", 2_500)
+    add("Mutation", GOLDEN_SNP_ID, "rs113488022", 250)
     for rank in range(1, 12):
         add("SNP", f"RS#:{500000 + rank}", f"rs{500000 + rank}", max(1, 400 // rank))
         add("DNAMutation", f"HGVS:c.{rank}A>G", f"c.{rank}a>g", max(1, 300 // rank))
@@ -108,14 +110,20 @@ def mention_vocabulary(entity_pdf: pd.DataFrame) -> list[tuple[str, str]]:
 
 
 class _DocVocab:
-    """Pre-computed sampling tables, pure function of the entity dict."""
+    """Pre-computed sampling tables, pure function of the entity dict.
+
+    cum_weights precomputed once: random.choices() rebuilds the cumulative
+    table on every call otherwise (measured ~3× of generation time).
+    """
 
     def __init__(self, entity_pdf: pd.DataFrame) -> None:
+        import itertools
+
         agg = (
             entity_pdf.groupby("name", sort=True)["freq"].sum().reset_index()
         )
         self.names = list(agg["name"])
-        self.weights = [int(w) for w in agg["freq"]]
+        self.cum_weights = list(itertools.accumulate(int(w) for w in agg["freq"]))
 
 
 _VOCAB_CACHE: dict[int, _DocVocab] = {}
@@ -150,13 +158,13 @@ def gen_doc(seed: int, i: int) -> tuple[str, str, str, str, str]:
         toks: list[str] = rng.choices(FILLER, k=rng.randint(3, 8))
         r = rng.random()
         if r < 0.6:
-            e1 = rng.choices(vocab.names, weights=vocab.weights, k=1)[0]
-            e2 = rng.choices(vocab.names, weights=vocab.weights, k=1)[0]
+            e1 = rng.choices(vocab.names, cum_weights=vocab.cum_weights, k=1)[0]
+            e2 = rng.choices(vocab.names, cum_weights=vocab.cum_weights, k=1)[0]
             pred = rng.choice(PREDICATES)
             pos = rng.randint(0, len(toks))
             toks[pos:pos] = [e1, pred, e2]
         elif r < 0.85:
-            e1 = rng.choices(vocab.names, weights=vocab.weights, k=1)[0]
+            e1 = rng.choices(vocab.names, cum_weights=vocab.cum_weights, k=1)[0]
             pos = rng.randint(0, len(toks))
             toks[pos:pos] = [e1]
         sentences.append(" ".join(toks))

@@ -303,8 +303,13 @@ def extract_all(
     mentions: DataFrame, sentences: DataFrame
 ) -> DataFrame:
     """Run all extractors; returns the annotation superset table with the
-    pair mention attributes kept for triple normalization."""
-    pairs = mention_pairs(mentions, sentences)
+    pair mention attributes kept for triple normalization.
+
+    The pair relation feeds four union branches; without materialization
+    Catalyst recomputes the 3-way join once per branch (4× the work — the
+    classic diamond-DAG blowup). ``.cache()`` collapses it to one compute.
+    """
+    pairs = mention_pairs(mentions, sentences).cache()
     cont = pair_contingency(mentions, sentences)
     anns = (
         extract_co_occurrence(pairs)

@@ -55,6 +55,7 @@ class StageResult:
     row_count: int
     recomputed: bool
     partitions: list[dict] = field(default_factory=list)
+    seconds: float = 0.0
 
 
 class CheckpointedPipeline:
@@ -94,6 +95,9 @@ class CheckpointedPipeline:
                 )
                 return df
 
+        import time
+
+        t0 = time.time()
         df = build()
         writer = df.write.mode("overwrite")
         if partition_by:
@@ -115,7 +119,9 @@ class CheckpointedPipeline:
                 f,
                 indent=1,
             )
-        self.results[name] = StageResult(name, path, fp, row_count, True, parts)
+        self.results[name] = StageResult(
+            name, path, fp, row_count, True, parts, seconds=round(time.time() - t0, 3)
+        )
         return out
 
 

@@ -34,7 +34,9 @@ def test_sentence_split_offsets(spark):
     contents = {r["doc_id"]: r["content"] for r in src.collect()}
     for s in sents:
         assert s["sentence"] in contents[s["doc_id"]]
-        assert "." not in s["sentence"]
+        # the sentence terminator is stripped (entity names like 'p.v600e'
+        # legitimately contain dots, so only the trailing one must go)
+        assert not s["sentence"].endswith(".")
 
 
 def test_mention_offsets_point_at_surface(spark):

@@ -131,7 +131,7 @@ def test_quality_and_token_counts(spark):
     assert q["punct_ratio"] > 0
     t = textstats.token_counts(df).collect()[0]
     assert t["ws_tokens"] == 7
-    assert t["bpe_tokens"] == 11  # 7 words + , ! . and 'And a bird' splits
+    assert t["bpe_tokens"] == 10  # 7 words + the 3 punctuation marks
 
 
 def test_fingerprint_order_sensitive(spark):
