@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..functions.hashing import key_of, md5_int60, stable_id
+from ..functions.hashing import fast_id, key_of
 from ..schemas import ANNOTATIONS, CRE_LABELS, VARIANT_TYPES
 
 PREDICATES = ["inhibits", "activates", "causes", "treats", "binds", "regulates"]
@@ -111,7 +111,10 @@ def _finish(df: DataFrame, annotator: str, payload: dict[str, F.Column], score: 
         "t_type",
         "t_ids",
     )
-    ann_id = stable_id(
+    # xxhash64, not md5: MessageDigest.getInstance serializes threads and
+    # anti-scales past ~8 cores (see functions/hashing.py) — this column is
+    # computed once per emitted annotation, squarely on the hot path
+    ann_id = fast_id(
         F.col("doc_id"),
         F.col("sent_idx"),
         F.lit(annotator),
@@ -189,13 +192,15 @@ def extract_cre(pairs: DataFrame) -> DataFrame:
         (F.array_contains(vt, F.col("h_type")) & (F.col("t_type") == "Disease"))
         | (F.array_contains(vt, F.col("t_type")) & (F.col("h_type") == "Disease"))
     )
-    h = md5_int60(
+    # lock-free hash; pmod because xxhash64 is signed (oracle mirror:
+    # functions.hashing.xxh64_pmod)
+    h = F.xxhash64(
         key_of(F.col("doc_id"), F.col("sent_idx"), F.col("h_off"), F.col("t_off"), F.lit("cre"))
     )
     label = F.element_at(
-        F.array(*[F.lit(x) for x in CRE_LABELS]), (h % 3 + 1).cast("int")
+        F.array(*[F.lit(x) for x in CRE_LABELS]), (F.pmod(h, F.lit(3)) + 1).cast("int")
     )
-    conf_tenths = 500 + (h % 500)  # 50.0% .. 99.9%
+    conf_tenths = 500 + F.pmod(h, F.lit(500))  # 50.0% .. 99.9%
     confidence = F.concat(
         (conf_tenths / 10).cast("decimal(4,1)").cast("string"), F.lit("%")
     )
@@ -231,7 +236,7 @@ def pair_contingency(
     n2 = sent_names.select("doc_id", "sent_idx", F.col("nm").alias("n2"))
     sent_pairs = n1.join(n2, ["doc_id", "sent_idx"]).filter(F.col("n1") < F.col("n2"))
 
-    salt = F.pmod(md5_int60(key_of(F.col("doc_id"), F.col("sent_idx"))), F.lit(n_salt))
+    salt = F.pmod(F.xxhash64(key_of(F.col("doc_id"), F.col("sent_idx"))), F.lit(n_salt))
     a = (
         sent_pairs.withColumn("_salt", salt)
         .groupBy("n1", "n2", "_salt")

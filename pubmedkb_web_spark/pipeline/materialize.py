@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.hashing import key_of, md5_int60
+from ..functions.hashing import key_of
 
 N_SALT = 16
 
@@ -87,8 +87,9 @@ def salted_pair_counts(
 
     Defuses hot-key skew on the reduce side; the salt is a deterministic
     hash of doc identity, never RNG (checkpoint-resume determinism).
+    xxhash64: lock-free, unlike the md5/sha MessageDigest path.
     """
-    salt = F.pmod(md5_int60(key_of(F.col("doc_id"), F.col("sent_idx"))), F.lit(n_salt))
+    salt = F.pmod(F.xxhash64(key_of(F.col("doc_id"), F.col("sent_idx"))), F.lit(n_salt))
     partial = (
         df.withColumn("_salt", salt)
         .groupBy(*keys, "_salt")

@@ -1,0 +1,179 @@
+"""Remaining reference query shapes: V2G, UMLS, GVD/GLOF, disease→gene
+scores, journal normalization, QA quotas.
+
+Each function cites the reference behavior it re-expresses (file:line into
+/root/reference)."""
+
+from __future__ import annotations
+
+import unicodedata
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql import Window as W
+
+
+# ---------------------------------------------------------------- V2G (J8)
+
+def v2g_translate(variant_links: DataFrame, kind1: str, key1: str, kind2: str) -> DataFrame:
+    """hgvs↔rs↔gene translations with frequency ranking; 'first gene name'
+    semantics = highest-freq then key asc (kb_utils.py:420-477 — reference
+    breaks after the first dict entry, i.e. highest co-frequency)."""
+    hits = variant_links.filter(
+        (F.col("kind1") == kind1) & (F.col("key1") == key1) & (F.col("kind2") == kind2)
+    )
+    w = W.partitionBy("key1").orderBy(F.col("freq").desc(), F.col("key2").asc())
+    return hits.withColumn("rank", F.row_number().over(w)).select(
+        "kind2", "key2", "freq", "rank"
+    )
+
+
+# --------------------------------------------------------------- UMLS (J9)
+
+def umls_expand(
+    umls: DataFrame, umls_names: DataFrame, name: str, source_filter: str | None = None,
+    umls_codes: DataFrame | None = None,
+) -> DataFrame:
+    """name (lowercased) → CUIs → preferred names (+ optional source-code
+    filter, e.g. MSH) — chained broadcast dimension joins
+    (kb_utils.py:2719-2731, server.py:3254-3260)."""
+    cuis = umls_names.filter(F.col("name_lower") == name.lower()).select("cui").distinct()
+    out = F.broadcast(cuis).join(umls, "cui")
+    if source_filter is not None and umls_codes is not None:
+        coded = umls_codes.filter(F.col("source") == source_filter).select("cui", "code")
+        out = out.join(coded, "cui")
+    return out
+
+
+def cross_product_lookup(main: DataFrame, c_keys: list[str], d_keys: list[str]) -> DataFrame:
+    """c_set × d_set probe (J12, server.py:2892-2896): crossJoin of two
+    literal frames, then join the main (c, d)-keyed relation."""
+    spark = main.sparkSession
+    cs = spark.createDataFrame([(c,) for c in c_keys], "c string")
+    ds = spark.createDataFrame([(d,) for d in d_keys], "d string")
+    return F.broadcast(cs.crossJoin(ds)).join(main, ["c", "d"], "inner")
+
+
+# ------------------------------------------------- disease→gene score (A4/A5)
+
+def disease_to_gene_scores(
+    db_scores: DataFrame, pubmedkb_scores: DataFrame
+) -> DataFrame:
+    """Blend per (disease, gene): db side rolled up by sum (A5,
+    kb_utils.py:1953-1959), blended as
+    ``min(db, 100) + 100 * min(pubmedkb, 10000) / 10000`` then max over
+    diseases per gene (A4, kb_utils.py:1961-2013). Key-space union is a
+    full-outer join (U4, kb_utils.py:1980); missing side contributes 0.
+
+    db_scores(disease, gene, score) · pubmedkb_scores(disease, gene, score)
+    """
+    db = db_scores.groupBy("disease", "gene").agg(F.sum("score").alias("db"))
+    pk = pubmedkb_scores.groupBy("disease", "gene").agg(F.sum("score").alias("pk"))
+    both = db.join(pk, ["disease", "gene"], "full_outer").select(
+        "disease",
+        "gene",
+        F.coalesce("db", F.lit(0.0)).alias("db"),
+        F.coalesce("pk", F.lit(0.0)).alias("pk"),
+    )
+    blended = both.withColumn(
+        "pair_score",
+        F.round(
+            F.least(F.col("db"), F.lit(100.0))
+            + 100.0 * F.least(F.col("pk"), F.lit(10000.0)) / 10000.0,
+            6,
+        ),
+    )
+    per_gene = blended.groupBy("gene").agg(F.round(F.max("pair_score"), 6).alias("gene_score"))
+    return blended.join(per_gene, "gene")
+
+
+# ------------------------------------------------------------ GVD pivot (A7)
+
+def gvd_pivot(pair_stats: DataFrame, annotators: list[str]) -> DataFrame:
+    """(subj, obj) × annotator support matrix — the GVD score-table shape
+    (kb_utils.py:1888-1903): one fixed-column pivot, zero-filled."""
+    out = (
+        pair_stats.groupBy("subj", "obj")
+        .pivot("annotator", annotators)
+        .agg(F.first("support"))
+    )
+    return out.select(
+        "subj", "obj", *[F.coalesce(F.col(a), F.lit(0)).alias(a) for a in annotators]
+    )
+
+
+# ----------------------------------------------------------------- GLOF
+
+def glof_rollup(glof: DataFrame) -> DataFrame:
+    """(type, key, direction) → pmids sorted by per-paper evidence count
+    desc (server.py:1455-1523, T6: sort by len(sid_list)).
+    glof(type, key, direction, doc_id, sent_idx)."""
+    per_doc = glof.groupBy("type", "key", "direction", "doc_id").agg(
+        F.count(F.lit(1)).alias("n_sents"),
+        F.array_sort(F.collect_set("sent_idx")).alias("sent_idxs"),
+    )
+    w = W.partitionBy("type", "key", "direction").orderBy(
+        F.col("n_sents").desc(), F.col("doc_id").asc()
+    )
+    return per_doc.withColumn("rank", F.row_number().over(w))
+
+
+# ---------------------------------------------- QA early-stop quotas (A9)
+
+def early_stop_quota(
+    ranked: DataFrame,
+    doc_col: str = "doc_id",
+    triplet_count_col: str = "n_triplets",
+    rank_col: str = "rank",
+    min_docs: int = 10,
+    min_triplets: int = 30,
+) -> DataFrame:
+    """Take-while over a ranked stream: keep rows until cumulative
+    #docs ≥ min_docs AND cumulative #triplets ≥ min_triplets
+    (kb_utils.py:2424-2426,2486-2490). Emulated with running-count windows
+    — the row that first satisfies both quotas is included, later rows cut.
+    """
+    w = W.orderBy(F.col(rank_col).asc()).rowsBetween(W.unboundedPreceding, -1)
+    before_docs = F.coalesce(F.count(F.col(doc_col)).over(w), F.lit(0))
+    before_trip = F.coalesce(F.sum(F.col(triplet_count_col)).over(w), F.lit(0))
+    return (
+        ranked.withColumn("_docs_before", before_docs)
+        .withColumn("_trip_before", before_trip)
+        .filter((F.col("_docs_before") < min_docs) | (F.col("_trip_before") < min_triplets))
+        .drop("_docs_before", "_trip_before")
+    )
+
+
+# ------------------------------------------------ journal normalization (F2)
+
+@F.pandas_udf(T.StringType())
+def _nfkc(s: pd.Series) -> pd.Series:
+    return s.map(lambda x: unicodedata.normalize("NFKC", x) if x is not None else None)
+
+
+def normalize_journal(col: Column) -> Column:
+    """NFKC → lower → '&'→' and ' → non-alnum→space → collapse whitespace
+    (kb_utils.py:1771-1784). Only the NFKC step needs Python (pandas UDF);
+    the rest stays JVM-side."""
+    c = F.lower(_nfkc(col))
+    c = F.regexp_replace(c, "&", " and ")
+    c = F.regexp_replace(c, r"[^0-9a-z]+", " ")
+    return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
+# --------------------------------------------------- id canonicalization (F3/F4)
+
+def mesh_canon(col: Column) -> Column:
+    """Add the MESH: prefix iff missing (kb_utils.py:1963-1970,2272-2275)."""
+    return F.when(col.startswith("MESH:"), col).otherwise(F.concat(F.lit("MESH:"), col))
+
+
+def split_variant_id(col: Column) -> Column:
+    """'geneid_variantid' → struct(gene_id, variant_id)
+    (server.py:1721-1728)."""
+    return F.struct(
+        F.substring_index(col, "_", 1).alias("gene_id"),
+        F.substring_index(col, "_", -1).alias("variant_id"),
+    )

@@ -171,10 +171,12 @@ def doc_triples(content: str, doc_id: str, dict_index, max_tokens: int) -> set[t
                 if (m1["type"] in vt and m2["type"] == "Disease") or (
                     m2["type"] in vt and m1["type"] == "Disease"
                 ):
-                    h = md5_int60(
-                        "\x1f".join([doc_id, str(sent_idx), str(m1["offset"]), str(m2["offset"]), "cre"])
+                    from pubmedkb_web_spark.functions.hashing import xxh64_pmod
+
+                    key = "\x1f".join(
+                        [doc_id, str(sent_idx), str(m1["offset"]), str(m2["offset"]), "cre"]
                     )
-                    label = ["Cause-associated", "In-patient", "Appositive"][h % 3]
+                    label = ["Cause-associated", "In-patient", "Appositive"][xxh64_pmod(key, 3)]
                     out.add((s_id, label, o_id, "rbert_cre", doc_id, sent_idx))
     return out
 

@@ -105,6 +105,7 @@ def test_cre_hash_matches_python_oracle(spark):
         h_off = ms[r["head"][0]]["offset"]
         t_off = ms[r["tail"][0]]["offset"]
         key = "\x1f".join([r["doc_id"], str(r["sent_idx"]), str(h_off), str(t_off), "cre"])
-        h = oracle.md5_int60(key)
-        assert r["relation"] == ["Cause-associated", "In-patient", "Appositive"][h % 3]
-        assert r["confidence"] == f"{(500 + h % 500) / 10:.1f}%"
+        from pubmedkb_web_spark.functions.hashing import xxh64_pmod
+
+        assert r["relation"] == ["Cause-associated", "In-patient", "Appositive"][xxh64_pmod(key, 3)]
+        assert r["confidence"] == f"{(500 + xxh64_pmod(key, 500)) / 10:.1f}%"
