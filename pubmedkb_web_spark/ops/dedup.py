@@ -26,8 +26,22 @@ from pyspark.sql import functions as F
 from ..functions.hashing import MERSENNE31, affine_params, md5_int60
 
 
+def _base_hash(col: Column, portable: bool) -> Column:
+    """portable=True → md5-int60 (bit-identical in the DuckDB/Python
+    oracles; small-data correctness checks). portable=False → xxhash64
+    (lock-free, the 100 TB path: MessageDigest.getInstance serializes
+    threads — see functions/hashing.py). Both land in [0, 2^60)."""
+    if portable:
+        return md5_int60(col)
+    return F.pmod(F.xxhash64(col), F.lit(1 << 60))
+
+
 def _tokens(text_col: str) -> Column:
-    return F.split(F.lower(F.col(text_col)), r"\s+")
+    # filter empties: Spark's split keeps "" around consecutive separators,
+    # DuckDB's string_split_regex drops them — keep both sides identical
+    return F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: F.length(t) > 0
+    )
 
 
 def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -62,14 +76,16 @@ def shingles(
     )
 
 
-def minhash_signatures(shingle_df: DataFrame, num_hashes: int = 8) -> DataFrame:
+def minhash_signatures(
+    shingle_df: DataFrame, num_hashes: int = 8, portable: bool = True
+) -> DataFrame:
     """(doc_id, sig array<bigint>): sig[i] = min over shingles of
     (a_i·(h mod M31) + b_i) mod M31, h = md5_int60(shingle).
 
     One groupBy per doc; all K mins computed in the same aggregation pass
     (map-side partial min → tiny shuffle).
     """
-    base = shingle_df.withColumn("h", md5_int60(F.col("shingle")) % MERSENNE31)
+    base = shingle_df.withColumn("h", _base_hash(F.col("shingle"), portable) % MERSENNE31)
     mins = []
     for i in range(num_hashes):
         a, b = affine_params(i)
@@ -157,17 +173,19 @@ def near_duplicates_minhash(
     bands: int = 4,
     id_col: str = "doc_id",
     text_col: str = "text",
+    portable: bool = True,
 ) -> DataFrame:
     """Full near-dup pipeline: shingle → minhash → LSH candidates → exact
     Jaccard verification ≥ threshold. Returns (doc_a, doc_b, jaccard)."""
     sh = shingles(df, n_shingle, id_col, text_col)
-    sigs = minhash_signatures(sh, num_hashes)
+    sigs = minhash_signatures(sh, num_hashes, portable=portable)
     cands = lsh_candidate_pairs(sigs, bands, num_hashes // bands)
     return jaccard_pairs(sh, cands).filter(F.col("jaccard") >= threshold)
 
 
 def simhash(
-    df: DataFrame, bits: int = 16, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame, bits: int = 16, id_col: str = "doc_id", text_col: str = "text",
+    portable: bool = True,
 ) -> DataFrame:
     """(doc_id, simhash): B-bit sign-aggregated fingerprint.
 
@@ -177,7 +195,7 @@ def simhash(
     tok = df.select(
         F.col(id_col).alias("doc_id"), F.explode(_tokens(text_col)).alias("token")
     ).filter(F.length("token") > 0)
-    h = md5_int60(F.col("token"))
+    h = _base_hash(F.col("token"), portable)
     # integer bit extraction (shiftright; literal shift counts — the bit
     # loop unrolls at plan time). Double division would lose precision
     # above 2^53 and break oracle parity.

@@ -260,14 +260,12 @@ def pair_contingency(
     aa, bb, cc, dd = [F.col(x) + F.lit(0.5) for x in ("a", "b", "c", "d")]
     ln_or = F.log((aa * dd) / (bb * cc))
     se = F.sqrt(1 / aa + 1 / bb + 1 / cc + 1 / dd)
-    n_tot = F.col("a") + F.col("b") + F.col("c") + F.col("d")
-    chi_num = n_tot * F.pow(F.col("a") * F.col("d") - F.col("b") * F.col("c"), 2)
-    chi_den = (
-        (F.col("a") + F.col("b"))
-        * (F.col("c") + F.col("d"))
-        * (F.col("a") + F.col("c"))
-        * (F.col("b") + F.col("d"))
-    )
+    # chi-square in DOUBLE: the marginal product (a+b)(c+d)(a+c)(b+d)
+    # overflows int64 already at ~10^5 documents per cell
+    ad, bd, cd2, dd2 = [F.col(x).cast("double") for x in ("a", "b", "c", "d")]
+    n_tot = ad + bd + cd2 + dd2
+    chi_num = n_tot * F.pow(ad * dd2 - bd * cd2, 2)
+    chi_den = (ad + bd) * (cd2 + dd2) * (ad + cd2) * (bd + dd2)
     chi2 = F.when(chi_den > 0, chi_num / chi_den).otherwise(F.lit(0.0))
     return cont.select(
         "n1",
