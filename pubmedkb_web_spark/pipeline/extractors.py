@@ -308,11 +308,15 @@ def extract_all(
     """Run all extractors; returns the annotation superset table with the
     pair mention attributes kept for triple normalization.
 
-    The pair relation feeds four union branches; without materialization
-    Catalyst recomputes the 3-way join once per branch (4× the work — the
-    classic diamond-DAG blowup). ``.cache()`` collapses it to one compute.
+    The pair relation feeds four union branches and is deliberately NOT
+    cached: the rows are wide (each pair carries its sentence text), and
+    materializing them measured 62 s where the four recomputed joins cost
+    ~2 s each (mentions/sentences are already checkpointed by the runner,
+    so each branch re-joins cheap narrow inputs). Caching here is the
+    classic wide-diamond trap: it trades four cheap shuffles for one very
+    expensive block-store write.
     """
-    pairs = mention_pairs(mentions, sentences).cache()
+    pairs = mention_pairs(mentions, sentences)
     cont = pair_contingency(mentions, sentences)
     anns = (
         extract_co_occurrence(pairs)

@@ -57,52 +57,71 @@ def split_sentences(source_ingested: DataFrame) -> DataFrame:
     )
 
 
-def _token_char_offset(tokens: Column, i: Column) -> Column:
-    """Char offset of token i in the space-joined sentence (JVM-side)."""
-    return F.aggregate(
-        F.slice(tokens, 1, i), F.lit(0), lambda acc, x: acc + F.length(x)
-    ) + i
-
-
 def enumerate_spans(sentences: DataFrame, max_tokens: int) -> DataFrame:
     """All token n-grams (n ≤ max_tokens, 3..100 chars) with char offsets.
 
-    Pure per-row explode — no shuffle. ``max_tokens`` should be the max
-    token count over dictionary names (computed once by the caller) so the
-    explode factor is minimal.
+    Codegen-friendly formulation: posexplode the tokens, compute each
+    token's char offset with a window cumulative sum, then build n-grams by
+    iterative self-joins on the token position (co-partitioned on
+    (doc_id, sent_idx) after one shuffle — Catalyst reuses the exchange).
+
+    An earlier version did this per-row with nested higher-order functions
+    (sequence/transform/filter with an aggregate for the offset). That is
+    shuffle-free but evaluates *interpreted*, and interpreted lambda eval
+    degrades under thread parallelism (measured: the identical span count
+    took 26.6 s on local[2] and 103.9 s on local[8]). Window + join stays
+    inside whole-stage codegen and scales with cores.
     """
-    tokens = F.split(F.col("sentence"), " ")
-    # array<struct<offset,text>>: for each start index i and length n,
-    # the span tokens[i:i+n] joined by spaces, with its char offset.
-    spans = F.filter(
-        F.flatten(
-            F.transform(
-                F.sequence(F.lit(0), F.size(tokens) - 1),
-                lambda i: F.transform(
-                    F.sequence(F.lit(1), F.lit(max_tokens)),
-                    lambda n: F.when(
-                        i + n <= F.size(tokens),
-                        F.struct(
-                            _token_char_offset(tokens, i).cast("int").alias("offset"),
-                            F.array_join(F.slice(tokens, i + 1, n), " ").alias("text"),
-                        ),
-                    ),
-                ),
-            )
-        ),
-        lambda s: s.isNotNull()
-        & (F.length(s["text"]) >= MIN_SPAN_CHARS)
-        & (F.length(s["text"]) <= MAX_SPAN_CHARS),
-    )
-    return sentences.select(
-        "doc_id", "sent_idx", "content_sha256", F.explode(spans).alias("span")
-    ).select(
+    from pyspark.sql import Window as W
+
+    toks = F.split(F.col("sentence"), " ")
+    base = sentences.select(
         "doc_id",
         "sent_idx",
         "content_sha256",
-        F.col("span.offset").alias("offset"),
-        F.col("span.text").alias("span_text"),
+        F.posexplode(toks).alias("pos", "tok"),
     )
+    w = W.partitionBy("doc_id", "sent_idx").orderBy("pos")
+    tokens = base.withColumn(
+        "offset",
+        F.coalesce(
+            F.sum(F.length("tok") + 1).over(w.rowsBetween(W.unboundedPreceding, -1)),
+            F.lit(0),
+        ).cast("int"),
+    )
+
+    spans = tokens.select(
+        "doc_id", "sent_idx", "content_sha256", "offset", "pos",
+        F.col("tok").alias("span_text"),
+    )
+    out = [spans]
+    nxt = tokens.select(
+        "doc_id", "sent_idx", F.col("pos").alias("nxt_pos"), F.col("tok").alias("nxt_tok")
+    )
+    for n in range(2, max_tokens + 1):
+        prev = out[-1]
+        extended = prev.join(
+            nxt,
+            (prev["doc_id"] == nxt["doc_id"])
+            & (prev["sent_idx"] == nxt["sent_idx"])
+            & (nxt["nxt_pos"] == prev["pos"] + 1),
+        ).select(
+            prev["doc_id"],
+            prev["sent_idx"],
+            prev["content_sha256"],
+            prev["offset"],
+            nxt["nxt_pos"].alias("pos"),
+            F.concat_ws(" ", prev["span_text"], nxt["nxt_tok"]).alias("span_text"),
+        )
+        out.append(extended)
+
+    all_spans = out[0]
+    for df in out[1:]:
+        all_spans = all_spans.unionByName(df)
+    return all_spans.filter(
+        (F.length("span_text") >= MIN_SPAN_CHARS)
+        & (F.length("span_text") <= MAX_SPAN_CHARS)
+    ).select("doc_id", "sent_idx", "content_sha256", "offset", "span_text")
 
 
 def dictionary_candidates(spans: DataFrame, entity_dict: DataFrame) -> DataFrame:
