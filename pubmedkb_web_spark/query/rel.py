@@ -60,8 +60,8 @@ def sorted_page(
         )
         col = {
             "citation": F.col("citation").cast("double"),
-            "year": F.try_cast(F.col("year"), "double"),
-            "journal_impact": F.try_cast(F.col("journal_impact"), "double"),
+            "year": (F.col("year")).try_cast("double"),
+            "journal_impact": (F.col("journal_impact")).try_cast("double"),
         }[sort_key]
         key = F.coalesce(col, F.lit(0.0))
     w = W.orderBy(key.desc(), F.col("doc_id").desc())
@@ -96,7 +96,7 @@ def hydrate(
     # "93.2%" → 93.2 (server.py:733 float(score[:-1]))
     return out.withColumn(
         "confidence_value",
-        F.try_cast(F.regexp_extract(F.col("confidence"), r"^([\d.]+)%$", 1), "double"),
+        (F.regexp_extract(F.col("confidence"), r"^([\d.]+)%$", 1)).try_cast("double"),
     )
 
 

@@ -33,7 +33,7 @@ from ..schemas import CRE_LABEL_WEIGHT
 
 def normalized_or(col: F.Column) -> F.Column:
     """max(OR, 1/OR) (summary_utils.py:630-639); non-numeric → null."""
-    v = F.try_cast(col, "double")
+    v = (col).try_cast("double")
     return F.when(v > 0, F.greatest(v, 1.0 / v))
 
 
@@ -57,7 +57,7 @@ def select_cre(relations: DataFrame) -> DataFrame:
     cre = relations.filter(F.col("annotator") == "rbert_cre").withColumn(
         "cre_rank_score",
         F.round(
-            F.try_cast(F.regexp_extract("confidence", r"^([\d.]+)%$", 1), "double")
+            (F.regexp_extract("confidence", r"^([\d.]+)%$", 1)).try_cast("double")
             * weight,
             6,
         ),

@@ -94,7 +94,7 @@ def clean_varsum_records(df: DataFrame) -> DataFrame:
         F.coalesce(
             clinvar_map[_clean("clinvar")], F.lower(F.regexp_replace(_clean("clinvar"), "_", " "))
         ).alias("clinvar_text"),
-        F.try_cast(_clean("gnomad_af"), "double").alias("gnomad_af"),
+        (_clean("gnomad_af")).try_cast("double").alias("gnomad_af"),
         classify_cds_position(_clean("hgvsc")).alias("cds_region"),
         parse_hgvsp_col(_clean("hgvsp")).alias("hgvsp_parsed"),
     )
