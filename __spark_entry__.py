@@ -364,13 +364,12 @@ def q_mesh_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_orders_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pagination slice 100..120 via the head-page path: TakeOrderedAndProject
+    on the full relation, window only over the ≤120 survivors."""
     orders = _t(spark, sf_dir, "orders")
-    w = W.orderBy(F.col("o_orderdate").desc(), F.col("o_orderkey").desc())
-    return (
-        orders.withColumn("rn", F.row_number().over(w))
-        .filter((F.col("rn") > 100) & (F.col("rn") <= 120))
-        .select("o_orderkey", "rn")
-    )
+    order = [F.col("o_orderdate").desc(), F.col("o_orderkey").desc()]
+    page = rel.ranked_slice(orders, order, 100, 120)
+    return page.select("o_orderkey", F.col("rank").alias("rn"))
 
 
 def q_anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -421,7 +420,11 @@ def q_top_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ----- rows-only (non-SQL-expressible) --------------------------------------
 
 def q_kg_pipeline_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
-    out_dir = os.path.join(tempfile.gettempdir(), "spark_graft_kg_gate")
+    # content-addressed by the pipeline code fingerprint: a code change gets
+    # a fresh dir (no stale-checkpoint reads), an unchanged rerun resumes
+    out_dir = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_kg_gate_{runner.CODE_FINGERPRINT[:12]}"
+    )
     tables = runner.run_kg_pipeline(spark, out_dir, n_docs=120, resume=True)
     return (
         tables["triples"]
@@ -580,10 +583,14 @@ tf AS (
 ),
 rel AS (SELECT doc_id, round(sum(tf), 6) AS relevance FROM tf GROUP BY doc_id),
 ranked AS (
-  -- tiebreak on doc_id as VARCHAR: the engine's postings carry string
-  -- doc ids, so its total order is lexicographic
+  -- reference tie-break: int(pmid) DESC (server.py:875); non-numeric ids
+  -- fall back to string order
   SELECT doc_id, relevance,
-         row_number() OVER (ORDER BY relevance DESC, CAST(doc_id AS VARCHAR) DESC) AS rank
+         row_number() OVER (
+           ORDER BY relevance DESC,
+                    TRY_CAST(doc_id AS BIGINT) DESC NULLS LAST,
+                    CAST(doc_id AS VARCHAR) DESC
+         ) AS rank
   FROM rel
 )
 SELECT doc_id, relevance, rank::INT AS rank FROM ranked WHERE rank <= 20
@@ -619,13 +626,19 @@ SELECT s_nationkey, s_suppkey, round(s_acctbal, 2) AS acctbal, rn FROM (
 """
 
     sql["rrf_fusion_orders"] = """
+-- each side is depth-capped at 10000 before fusion (the engine ranks
+-- bounded lists only, like the reference's BM25 top-10000, kb_utils.py:997)
 WITH a AS (
-  SELECT o_orderkey, row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey ASC)::INT AS rank_a
-  FROM orders
+  SELECT o_orderkey, rank_a FROM (
+    SELECT o_orderkey, row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey ASC)::INT AS rank_a
+    FROM orders
+  ) WHERE rank_a <= 10000
 ),
 b AS (
-  SELECT o_orderkey, row_number() OVER (ORDER BY o_orderdate ASC, o_orderkey ASC)::INT AS rank_b
-  FROM orders
+  SELECT o_orderkey, rank_b FROM (
+    SELECT o_orderkey, row_number() OVER (ORDER BY o_orderdate ASC, o_orderkey ASC)::INT AS rank_b
+    FROM orders
+  ) WHERE rank_b <= 10000
 ),
 f AS (
   SELECT coalesce(a.o_orderkey, b.o_orderkey) AS o_orderkey, rank_a, rank_b,

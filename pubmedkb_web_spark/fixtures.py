@@ -36,6 +36,17 @@ FILLER = (
 
 PREDICATES = ["inhibits", "activates", "causes", "treats", "binds", "regulates"]
 
+# GLOF surface forms → direction (gof/lof) — the GeVarToGLOF store vocabulary
+# shape (/root/reference/server.py:1472-1523 serves gof/lof pmid→sid maps).
+GLOF_TERMS = [
+    ("gain of function", "gof"),
+    ("loss of function", "lof"),
+    ("activating mutation", "gof"),
+    ("inactivating mutation", "lof"),
+    ("constitutively active", "gof"),
+    ("reduced activity", "lof"),
+]
+
 # golden ids reused verbatim from the reference's own test queries
 # (/root/reference/client.py:68-110, kb_utils.py:2995-3016) so the golden
 # spec trees run unchanged against our fixtures.
@@ -93,6 +104,10 @@ def build_entity_dict(seed: int = SEED) -> pd.DataFrame:
     add("ProteinMutation", GOLDEN_GENE_ID, "p.v600e", 1_500)  # gene-constrained id
     add("SNP", GOLDEN_SNP_ID, "rs113488022", 2_500)
     add("Mutation", GOLDEN_SNP_ID, "rs113488022", 250)
+    # DNAAcidChange postings: the sixth umbrella type (kb_utils.py:58-67) —
+    # umbrella spec queries must pick these up or silently lose recall.
+    add("DNAAcidChange", "HGVS:c.1799T>A", "c.1799t>a", 900)
+    add("DNAAcidChange", GOLDEN_SNP_ID, "c.1799t>a", 90)  # id shared w/ SNP → umbrella dedup
     for rank in range(1, 12):
         add("SNP", f"RS#:{500000 + rank}", f"rs{500000 + rank}", max(1, 400 // rank))
         add("DNAMutation", f"HGVS:c.{rank}A>G", f"c.{rank}a>g", max(1, 300 // rank))
@@ -167,6 +182,9 @@ def gen_doc(seed: int, i: int) -> tuple[str, str, str, str, str]:
             e1 = rng.choices(vocab.names, cum_weights=vocab.cum_weights, k=1)[0]
             pos = rng.randint(0, len(toks))
             toks[pos:pos] = [e1]
+            if r < 0.70:  # co-sentence GLOF phrase → glof_evidence rows
+                term = GLOF_TERMS[rng.randint(0, len(GLOF_TERMS) - 1)][0]
+                toks[pos + 1 : pos + 1] = [term]
         sentences.append(" ".join(toks))
     content = ". ".join(sentences) + "."
     return repo, path, commit, lang, content
@@ -206,6 +224,16 @@ def ingest(source_df: DataFrame) -> DataFrame:
 def entity_dict_df(spark: SparkSession, seed: int = SEED) -> DataFrame:
     """The broadcast-side NEN dictionary as a DataFrame."""
     return spark.createDataFrame(build_entity_dict(seed), schema=schemas.ENTITY_DICT)
+
+
+def glof_dict_df(spark: SparkSession) -> DataFrame:
+    """GLOF term dictionary shaped like the NEN dict: type='GLOF',
+    id=direction — so the M1 machinery runs unchanged over the GLOF track."""
+    pdf = pd.DataFrame(
+        [("GLOF", direction, term, 1) for term, direction in GLOF_TERMS],
+        columns=["type", "id", "name", "freq"],
+    )
+    return spark.createDataFrame(pdf, schema=schemas.ENTITY_DICT)
 
 
 def meta_table(spark: SparkSession, source_ingested: DataFrame, seed: int = SEED) -> DataFrame:

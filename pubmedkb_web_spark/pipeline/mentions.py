@@ -17,8 +17,13 @@ Reference semantics re-expressed Spark-first:
 - candidate ranking: ids per matched name ordered by (freq desc, id) —
   get_ids_by_name semantics (/root/reference/kb_utils.py:365-372).
 - overlap removal: greedy keep-first by start offset, longer span wins on
-  ties (/root/reference/server.py:1292-1334) — inherently sequential per
-  sentence, so it runs as applyInPandas per (doc_id, sent_idx) group.
+  ties (/root/reference/server.py:1292-1302) — inherently sequential per
+  sentence, so it runs as an Arrow-batched pandas UDF over the grouped
+  per-sentence candidate arrays (grouping and sorting stay JVM-side).
+- GLOF track: GLOF mentions are resolved within their own population, then
+  dropped wherever they overlap a normal mention, then merged back sorted
+  by offset (/root/reference/server.py:1304-1334) — the subtraction is a
+  per-sentence range anti-join, pure codegen.
 
 Scale notes (100 TB): every step before the final groupBy is narrow
 (map-only). The only shuffles are the applyInPandas group (keyed by
@@ -30,8 +35,10 @@ that, switch the join to a bucketed sort-merge on name_lower.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+import pandas as pd
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 MAX_SPAN_CHARS = 100
 MIN_SPAN_CHARS = 3
@@ -98,20 +105,26 @@ def enumerate_spans(sentences: DataFrame, max_tokens: int) -> DataFrame:
     nxt = tokens.select(
         "doc_id", "sent_idx", F.col("pos").alias("nxt_pos"), F.col("tok").alias("nxt_tok")
     )
+    # string-qualified aliases (not dataset-bound df["col"] refs): the span
+    # plans get re-joined downstream (normal track × GLOF track share this
+    # subtree), and dataset-bound refs would trip failAmbiguousSelfJoin there
     for n in range(2, max_tokens + 1):
-        prev = out[-1]
+        p, x = f"_sp{n}", f"_sx{n}"
+        prev = out[-1].alias(p)
         extended = prev.join(
-            nxt,
-            (prev["doc_id"] == nxt["doc_id"])
-            & (prev["sent_idx"] == nxt["sent_idx"])
-            & (nxt["nxt_pos"] == prev["pos"] + 1),
+            nxt.alias(x),
+            (F.col(f"{p}.doc_id") == F.col(f"{x}.doc_id"))
+            & (F.col(f"{p}.sent_idx") == F.col(f"{x}.sent_idx"))
+            & (F.col(f"{x}.nxt_pos") == F.col(f"{p}.pos") + 1),
         ).select(
-            prev["doc_id"],
-            prev["sent_idx"],
-            prev["content_sha256"],
-            prev["offset"],
-            nxt["nxt_pos"].alias("pos"),
-            F.concat_ws(" ", prev["span_text"], nxt["nxt_tok"]).alias("span_text"),
+            F.col(f"{p}.doc_id"),
+            F.col(f"{p}.sent_idx"),
+            F.col(f"{p}.content_sha256"),
+            F.col(f"{p}.offset"),
+            F.col(f"{x}.nxt_pos").alias("pos"),
+            F.concat_ws(
+                " ", F.col(f"{p}.span_text"), F.col(f"{x}.nxt_tok")
+            ).alias("span_text"),
         )
         out.append(extended)
 
@@ -164,23 +177,58 @@ def dictionary_candidates(spans: DataFrame, entity_dict: DataFrame) -> DataFrame
     )
 
 
-_CAND_DDL = (
-    "struct<offset:int,neg_len:int,type:string,name:string,ids:array<string>>"
+# built with explicit DataType objects (not a DDL string) so the pandas UDF
+# can be declared at import time with no active SparkSession
+_CAND_TYPE = T.StructType(
+    [
+        T.StructField("offset", T.IntegerType()),
+        T.StructField("neg_len", T.IntegerType()),
+        T.StructField("type", T.StringType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("ids", T.ArrayType(T.StringType())),
+    ]
 )
-_STATE_DDL = f"struct<last_end:int,ks:int,ke:int,kept:array<{_CAND_DDL}>>"
+
+
+@F.pandas_udf(T.ArrayType(_CAND_TYPE))
+def _greedy_nonoverlap(cands: pd.Series) -> pd.Series:
+    """Greedy keep-first fold over a pre-sorted candidate array.
+
+    One Arrow batch carries ~10k sentences; the per-sentence scan is O(c)
+    with a plain list append. Runs in the per-task Python worker process —
+    no GIL sharing across executor threads, no JVM interpreted-eval."""
+
+    def fold(lst):
+        kept, last_end = [], -1
+        for c in lst:
+            start = int(c["offset"])
+            if start >= last_end:
+                kept.append(c)
+                last_end = start - int(c["neg_len"])
+        return kept
+
+    return cands.map(fold)
 
 
 def resolve_overlaps(candidates: DataFrame) -> DataFrame:
-    """Greedy non-overlap resolution per sentence (server.py:1292-1334).
+    """Greedy non-overlap resolution per sentence (server.py:1292-1302).
 
-    Sort by (offset asc, length desc, type asc); keep a span iff it starts
-    at/after the end of the last kept span; mentions of *different types*
-    on the identical span are all kept (the reference emits one mention per
-    type). The scan is inherently sequential per sentence, but sentences
-    are short — so it runs as a JVM-side fold (array_sort + aggregate with
-    struct state) rather than per-group Python: an applyInPandas version
-    measured ~8 ms/group of pure pandas overhead, 25+ s on a corpus where
-    this fold takes ~2 s, and it keeps the whole stage Python-free.
+    Sort by (offset asc, length desc, type asc, name) — the deterministic
+    stand-in for the reference's *stable* offset-only sort — then keep a
+    span iff it starts at/after the end of the last kept span. Exactly one
+    mention survives per position, like the reference: ties on the identical
+    span keep only the first (server.py:1295-1302 appends only when
+    ``offset >= last_offset``, so a same-span duplicate is dropped).
+
+    The scan is inherently sequential per sentence — a *kept* span's end
+    decides the next keep while a *rejected* span's end must not, so no
+    cummax/lag window can express it (a rejected long span would wrongly
+    block later spans). It runs as an Arrow-batched pandas UDF over the
+    per-sentence candidate arrays: grouping + array_sort stay JVM-side and
+    the fold crosses to Python once per batch of sentences. This replaces
+    the interpreted higher-order ``aggregate`` fold whose lambda interpreter
+    measured anti-scaling with executor threads (SCALING.json round 1) and
+    whose array-append state was O(c²) per sentence.
     """
     cand = F.struct(
         F.col("offset").cast("int").alias("offset"),
@@ -192,33 +240,7 @@ def resolve_overlaps(candidates: DataFrame) -> DataFrame:
     grouped = candidates.groupBy("doc_id", "sent_idx", "content_sha256").agg(
         F.array_sort(F.collect_list(cand)).alias("cands")
     )
-
-    init = F.lit(None).cast(_STATE_DDL)
-
-    def step(acc: Column, c: Column) -> Column:
-        start = c["offset"]
-        end = c["offset"] - c["neg_len"]
-        appended = lambda: F.concat(acc["kept"], F.array(c))  # noqa: E731
-        first = F.struct(
-            end.alias("last_end"), start.alias("ks"), end.alias("ke"),
-            F.array(c).alias("kept"),
-        )
-        keep_new = F.struct(
-            end.alias("last_end"), start.alias("ks"), end.alias("ke"),
-            appended().alias("kept"),
-        )
-        keep_same_span = F.struct(
-            acc["last_end"].alias("last_end"), acc["ks"].alias("ks"), acc["ke"].alias("ke"),
-            appended().alias("kept"),
-        )
-        return (
-            F.when(acc.isNull(), first)
-            .when(start >= acc["last_end"], keep_new)
-            .when((start == acc["ks"]) & (end == acc["ke"]), keep_same_span)
-            .otherwise(acc)
-        )
-
-    kept = F.aggregate(F.col("cands"), init, step, lambda s: s["kept"])
+    kept = _greedy_nonoverlap(F.col("cands"))
     return (
         grouped.select(
             "doc_id",
@@ -236,6 +258,72 @@ def resolve_overlaps(candidates: DataFrame) -> DataFrame:
             F.col("m.ids").alias("ids"),
             F.col("mention_idx").cast("int").alias("mention_idx"),
         )
+    )
+
+
+def subtract_glof_overlaps(mentions: DataFrame, glof_mentions: DataFrame) -> DataFrame:
+    """Merge the normal and GLOF mention tracks per the reference
+    (server.py:1304-1334): both sides arrive already non-overlapping within
+    their own population; drop every GLOF mention whose character range
+    intersects any normal mention in the same sentence; merge and re-sort by
+    offset, renumbering mention_idx.
+
+    The subtraction is a left-anti hash join on (doc_id, sent_idx) with the
+    range-intersection predicate as a codegen filter — per sentence both
+    sides are tiny, the key is a sha256-prefix doc id, no skew. The
+    renumbering window is partitioned per sentence (parallel)."""
+    from pyspark.sql import Window as W
+
+    # both tracks share the sentences subplan (a self-join); qualified
+    # string aliases keep the resolver unambiguous
+    g = glof_mentions.alias("g")
+    norm = mentions.select("doc_id", "sent_idx", "offset", "name").alias("n")
+    clean_glof = g.join(
+        norm,
+        (F.col("g.doc_id") == F.col("n.doc_id"))
+        & (F.col("g.sent_idx") == F.col("n.sent_idx"))
+        & (F.col("g.offset") < F.col("n.offset") + F.length("n.name"))
+        & (F.col("n.offset") < F.col("g.offset") + F.length("g.name")),
+        "left_anti",
+    )
+    merged = mentions.unionByName(clean_glof)
+    # offsets are unique per sentence after subtraction (each population is
+    # non-overlapping and cross-population overlaps were dropped)
+    w = W.partitionBy("doc_id", "sent_idx").orderBy("offset")
+    return merged.withColumn(
+        "mention_idx", (F.row_number().over(w) - 1).cast("int")
+    )
+
+
+def build_glof_mentions(
+    sentences: DataFrame, glof_dict: DataFrame, max_tokens: int
+) -> DataFrame:
+    """GLOF track over the same sentences: identical M1 machinery with the
+    GLOF term dictionary (type='GLOF', ids=[direction]); overlap-resolved
+    within its own population (server.py:1304-1313)."""
+    spans = enumerate_spans(sentences, max_tokens=max_tokens)
+    candidates = dictionary_candidates(spans, glof_dict)
+    return resolve_overlaps(candidates).select(
+        "doc_id", "sent_idx", "mention_idx", "name", "type", "ids",
+        "offset", "content_sha256",
+    )
+
+
+def glof_evidence(mentions_merged: DataFrame) -> DataFrame:
+    """Entity-GLOF evidence rows: (type, key, direction, doc_id, sent_idx)
+    — every normal entity mention co-sentence with a GLOF mention, direction
+    = gof/lof from the GLOF term id (the GeVarToGLOF store shape,
+    server.py:1472-1523). Sentence-local equi-join, no skew."""
+    glof = mentions_merged.filter(F.col("type") == "GLOF").select(
+        "doc_id", "sent_idx", F.col("ids")[0].alias("direction")
+    )
+    ents = mentions_merged.filter(F.col("type") != "GLOF").select(
+        "doc_id", "sent_idx", "type", F.explode("ids").alias("key")
+    )
+    return (
+        ents.join(glof, ["doc_id", "sent_idx"])
+        .select("type", "key", "direction", "doc_id", "sent_idx")
+        .dropDuplicates()
     )
 
 

@@ -29,11 +29,44 @@ from . import canonicalize, extractors, materialize, mentions
 MARKER = "_graft_meta.json"
 
 
+def _compute_code_fingerprint() -> str:
+    """Hash of the pipeline's own source modules. Mixed into every stage
+    fingerprint so a checkpoint written by *older code* can never be read
+    back as current — without it, editing an extractor silently resumed
+    stale parquet (round-1 ADVICE)."""
+    import hashlib
+    import inspect
+
+    from .. import fixtures as _fx, schemas as _sc
+    from . import canonicalize as _cn, extractors as _ex, materialize as _mt, mentions as _mn
+
+    h = hashlib.sha256()
+    for mod in (_mn, _ex, _cn, _mt, _fx, _sc):
+        try:
+            h.update(inspect.getsource(mod).encode())
+        except OSError:  # zipped/py-files deployment: fall back to __file__ bytes
+            with open(mod.__file__, "rb") as f:
+                h.update(f.read())
+    # this module last (can't inspect itself during import on some loaders)
+    with open(__file__, "rb") as f:
+        h.update(f.read())
+    return h.hexdigest()[:16]
+
+
+CODE_FINGERPRINT = _compute_code_fingerprint()
+
+
 def _fingerprint(name: str, config: dict, upstream: list[str]) -> str:
     import hashlib
 
     payload = json.dumps(
-        {"name": name, "config": config, "upstream": sorted(upstream)}, sort_keys=True
+        {
+            "name": name,
+            "config": config,
+            "upstream": sorted(upstream),
+            "code": CODE_FINGERPRINT,
+        },
+        sort_keys=True,
     )
     return hashlib.sha256(payload.encode()).hexdigest()[:16]
 
@@ -165,6 +198,24 @@ def run_kg_pipeline(
         lambda: extractors.extract_all(mention_df, sentences),
         upstream=["sentences", "mentions"],
     )
+
+    # GLOF track (server.py:1292-1334 + 1472-1523): GLOF term mentions,
+    # overlap-subtracted against normal mentions, rolled into the
+    # entity-GLOF evidence table that /query_ent_glof serves.
+    glof_dict = fixtures.glof_dict_df(spark)
+    glof_max_tokens = max(len(t.split(" ")) for t, _ in fixtures.GLOF_TERMS)
+
+    def build_glof() -> DataFrame:
+        gm = mentions.build_glof_mentions(sentences, glof_dict, glof_max_tokens)
+        merged = mentions.subtract_glof_overlaps(mention_df, gm)
+        return mentions.glof_evidence(merged)
+
+    glof = pipe.stage(
+        "glof",
+        build_glof,
+        upstream=["sentences", "mentions"],
+        config={"terms": sorted(t for t, _ in fixtures.GLOF_TERMS)},
+    )
     canon = pipe.stage(
         "canonical_map", lambda: canonicalize.canonical_map(entity_dict), config={"seed": seed}
     )
@@ -213,6 +264,7 @@ def run_kg_pipeline(
         "pair_stats": pair_stats,
         "chem_disease": chem_disease,
         "cgd_paths": cgd_paths,
+        "glof": glof,
         "meta": meta,
         "_pipeline": pipe,  # type: ignore[dict-item]
     }

@@ -62,10 +62,12 @@ def disease_to_gene_scores(
     db_scores: DataFrame, pubmedkb_scores: DataFrame
 ) -> DataFrame:
     """Blend per (disease, gene): db side rolled up by sum (A5,
-    kb_utils.py:1953-1959), blended as
-    ``min(db, 100) + 100 * min(pubmedkb, 10000) / 10000`` then max over
-    diseases per gene (A4, kb_utils.py:1961-2013). Key-space union is a
-    full-outer join (U4, kb_utils.py:1980); missing side contributes 0.
+    kb_utils.py:1953-1959), then **binarized** — ``100 if db > 0 else 0``
+    (kb_utils.py:1983-1985) — plus an **uncapped** normalized pubmedkb term
+    ``100 * pk / 10000`` (max_raw_pubmedkbscore = 10000, kb_utils.py:1943,
+    1987); max over diseases per gene (A4, kb_utils.py:1961-2013). Key-space
+    union is a full-outer join (U4, kb_utils.py:1980); missing side
+    contributes 0.
 
     db_scores(disease, gene, score) · pubmedkb_scores(disease, gene, score)
     """
@@ -80,8 +82,8 @@ def disease_to_gene_scores(
     blended = both.withColumn(
         "pair_score",
         F.round(
-            F.least(F.col("db"), F.lit(100.0))
-            + 100.0 * F.least(F.col("pk"), F.lit(10000.0)) / 10000.0,
+            F.when(F.col("db") > 0, F.lit(100.0)).otherwise(F.lit(0.0))
+            + 100.0 * F.col("pk") / 10000.0,
             6,
         ),
     )
@@ -129,12 +131,19 @@ def early_stop_quota(
     rank_col: str = "rank",
     min_docs: int = 10,
     min_triplets: int = 30,
+    max_rank: int = 10_000,
 ) -> DataFrame:
     """Take-while over a ranked stream: keep rows until cumulative
     #docs ≥ min_docs AND cumulative #triplets ≥ min_triplets
     (kb_utils.py:2424-2426,2486-2490). Emulated with running-count windows
     — the row that first satisfies both quotas is included, later rows cut.
+
+    The unpartitioned running-sum window is safe only because the input is a
+    bounded ranked stream (the reference feeds it its top-10000 retrieval
+    list, kb_utils.py:2424); ``max_rank`` enforces that bound so an unbounded
+    relation can never reach the single-task window.
     """
+    ranked = ranked.filter(F.col(rank_col) <= max_rank)
     w = W.orderBy(F.col(rank_col).asc()).rowsBetween(W.unboundedPreceding, -1)
     before_docs = F.coalesce(F.count(F.col(doc_col)).over(w), F.lit(0))
     before_trip = F.coalesce(F.sum(F.col(triplet_count_col)).over(w), F.lit(0))

@@ -30,11 +30,73 @@ class RelResult:
     papers: DataFrame      # (doc_id, sort_score, rank) — the page
     relations: DataFrame   # hydrated page annotations + sentences
     statistics: dict       # overall + per-annotator counts
+    summary: list = None   # NLG summary sentences for the page (server.py:924-958)
 
 
 def paper_scores(hits: DataFrame) -> DataFrame:
     """relevance = per-paper sum of annotation scores (server.py:657-659)."""
     return hits.groupBy("doc_id").agg(F.round(F.sum("score"), 6).alias("relevance"))
+
+
+# Pages whose end fits under this bound rank via orderBy().limit() —
+# TakeOrderedAndProject, a per-partition heap + driver merge of ≤page_end
+# rows. Deeper offsets switch to the range-partitioned path.
+DEEP_PAGE_THRESHOLD = 100_000
+
+
+def _doc_tiebreak() -> list:
+    """Tie-break like the reference: int(pmid) desc (server.py:875);
+    non-numeric ids fall back to string order."""
+    return [
+        F.col("doc_id").try_cast("bigint").desc_nulls_last(),
+        F.col("doc_id").desc(),
+    ]
+
+
+def ranked_slice(df: DataFrame, order: list, page_start: int, page_end: int) -> DataFrame:
+    """Attach a global ``rank`` under the total order ``order`` and slice
+    (page_start, page_end] — without ever shuffling the full relation into
+    one task.
+
+    Head pages (page_end ≤ DEEP_PAGE_THRESHOLD): ``orderBy().limit(page_end)``
+    plans TakeOrderedAndProject (per-partition top-k heaps, driver merge of
+    ≤page_end rows); the row_number window then runs over that bounded
+    relation only.
+
+    Deep offsets: range-repartition on the sort key — each partition holds a
+    contiguous rank range — rank locally per partition (parallel window,
+    keyed by partition id), and add cumulative partition-count offsets (one
+    small driver-side count per partition).
+    """
+    if page_end <= DEEP_PAGE_THRESHOLD:
+        limited = df.orderBy(*order).limit(page_end)
+        ranked = limited.withColumn("rank", F.row_number().over(W.orderBy(*order)))
+    else:
+        spark = df.sparkSession
+        n = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+        ranged = (
+            df.repartitionByRange(n, *order)
+            .withColumn("_pid", F.spark_partition_id())
+            .persist()
+        )
+        counts = {
+            int(r["_pid"]): int(r["n"])
+            for r in ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        offsets, acc = {}, 0
+        for pid in sorted(counts):
+            offsets[pid] = acc
+            acc += counts[pid]
+        mapping = F.create_map(
+            *[F.lit(x) for pid in sorted(offsets) for x in (pid, offsets[pid])]
+        )
+        w = W.partitionBy("_pid").orderBy(*order)
+        ranked = (
+            ranged.withColumn("_rn", F.row_number().over(w))
+            .withColumn("rank", (F.col("_rn") + mapping[F.col("_pid")]).cast("int"))
+            .drop("_pid", "_rn")
+        )
+    return ranked.filter((F.col("rank") > page_start) & (F.col("rank") <= page_end))
 
 
 def sorted_page(
@@ -45,7 +107,8 @@ def sorted_page(
     page_end: int,
 ) -> DataFrame:
     """Sort by the chosen key (non-numeric meta values fall back to 0,
-    server.py:846-869), tie-break doc_id desc, slice [start, end)."""
+    server.py:846-869), tie-break int(doc_id) desc then doc_id desc
+    (server.py:875), slice [start, end)."""
     if sort_key not in SORT_KEYS:
         raise ValueError(f"sort key must be one of {SORT_KEYS}")
     df = scores
@@ -64,13 +127,9 @@ def sorted_page(
             "journal_impact": (F.col("journal_impact")).try_cast("double"),
         }[sort_key]
         key = F.coalesce(col, F.lit(0.0))
-    w = W.orderBy(key.desc(), F.col("doc_id").desc())
-    return (
-        df.withColumn("sort_score", key)
-        .withColumn("rank", F.row_number().over(w))
-        .filter((F.col("rank") > page_start) & (F.col("rank") <= page_end))
-        .select("doc_id", "relevance", "sort_score", "rank")
-    )
+    order = [F.col("sort_score").desc(), *_doc_tiebreak()]
+    page = ranked_slice(df.withColumn("sort_score", key), order, page_start, page_end)
+    return page.select("doc_id", "relevance", "sort_score", "rank")
 
 
 def hydrate(
@@ -134,6 +193,7 @@ def run_rel(
     page_start: int = 0,
     page_end: int = 10,
     with_statistics: bool = True,
+    with_summary: bool = True,
 ) -> RelResult:
     if e2_spec is None:
         hits = spec_mod.evaluate_single(postings, e1_spec, pmid)
@@ -144,4 +204,12 @@ def run_rel(
     page = sorted_page(scores, meta, sort_key, page_start, page_end)
     relations = hydrate(page, hits, annotations, sentences)
     stats = statistics(hits, annotations) if with_statistics else {}
-    return RelResult(papers=page, relations=relations, statistics=stats)
+    summary = None
+    if with_summary:
+        # the reference returns the NLG summary with every /query_rel page
+        # (server.py:924-958); it inspects ≤ one page of hydrated rows, so
+        # collecting the page is the honest cost model
+        from . import summary as summary_mod
+
+        summary = summary_mod.summarize_page([r.asDict() for r in relations.collect()])
+    return RelResult(papers=page, relations=relations, statistics=stats, summary=summary)

@@ -95,11 +95,27 @@ def rrf_fuse(
     return fused.orderBy(F.col("rrf").desc(), F.col(key).asc()).limit(top_k)
 
 
-def rank_by(df: DataFrame, order_col: str, key: str = "doc_id", ascending: bool = False) -> DataFrame:
-    """(key, rank) with deterministic tiebreak on the key."""
+RANK_DEPTH = 10_000  # reference fuses bounded lists only (kb_utils.py:997-1033)
+
+
+def rank_by(
+    df: DataFrame,
+    order_col: str,
+    key: str = "doc_id",
+    ascending: bool = False,
+    depth: int = RANK_DEPTH,
+) -> DataFrame:
+    """(key, rank) with deterministic tiebreak on the key, capped at
+    ``depth``: ``orderBy().limit(depth)`` plans TakeOrderedAndProject
+    (per-partition heaps, no full-relation sort), so the row_number window
+    numbers ≤depth survivors instead of shuffling every row into one task.
+    The reference never ranks an unbounded relation — BM25 is top-10000 and
+    impact lists are top-k (kb_utils.py:997-1033) — so fusion semantics are
+    identical: a key outside the top ``depth`` contributes 0 to RRF."""
     oc = F.col(order_col).asc() if ascending else F.col(order_col).desc()
-    w = W.orderBy(oc, F.col(key).asc())
-    return df.select(key, order_col).withColumn("rank", F.row_number().over(w))
+    order = [oc, F.col(key).asc()]
+    limited = df.select(key, order_col).orderBy(*order).limit(depth)
+    return limited.withColumn("rank", F.row_number().over(W.orderBy(*order)))
 
 
 def cosine(vec_col: F.Column, query: list[float]) -> F.Column:

@@ -161,14 +161,23 @@ def summarize_page(page_rows: list[dict], seed: int = 42) -> list[dict]:
         if r["annotator"] == "odds_ratio" and _norm_or(r.get("or_value")) is not None
     ]
     if ors:
-        best = max(ors, key=lambda r: (_norm_or(r["or_value"]), r["doc_id"], r["ann_id"]))
+        # max by score, then MIN by (doc_id, ann_id) — identical tie order to
+        # the DataFrame selectors (select_odds_ratio orders doc_id/ann_id asc)
+        best = min(
+            ors, key=lambda r: (-_norm_or(r["or_value"]), r["doc_id"], r["ann_id"])
+        )
         picked.append(("odds_ratio", OR_TEMPLATES, best))
-    cres = [r for r in page_rows if r["annotator"] == "rbert_cre"]
+    cres = [
+        r for r in page_rows
+        if r["annotator"] == "rbert_cre"
+        and pct(r.get("confidence")) == pct(r.get("confidence"))  # drop NaN,
+        # matching select_cre's isNotNull filter on unparsable confidence
+    ]
     if cres:
-        best = max(
+        best = min(
             cres,
             key=lambda r: (
-                pct(r.get("confidence")) * CRE_LABEL_WEIGHT.get(r.get("relation"), 0),
+                -pct(r.get("confidence")) * CRE_LABEL_WEIGHT.get(r.get("relation"), 0),
                 r["doc_id"],
                 r["ann_id"],
             ),

@@ -201,7 +201,7 @@ VARIANT_TYPES = [
     "SNP",
     "CopyNumberVariant",
     "Mutation",
-    "AcidChange",
+    "DNAAcidChange",
 ]
 
 ANNOTATOR_NAMES = ["odds_ratio", "rbert_cre", "spacy_ore", "openie_ore", "co_occurrence"]

@@ -14,7 +14,7 @@ from collections import defaultdict
 from pubmedkb_web_spark import fixtures
 
 VARIANT_TYPES = {
-    "ProteinMutation", "DNAMutation", "SNP", "CopyNumberVariant", "Mutation", "AcidChange",
+    "ProteinMutation", "DNAMutation", "SNP", "CopyNumberVariant", "Mutation", "DNAAcidChange",
 }
 
 
@@ -66,18 +66,54 @@ def detect_mentions(content: str, dict_index, max_tokens: int) -> list[dict]:
                             {"sent_idx": sent_idx, "offset": off, "name": span, "type": t, "ids": ids}
                         )
         cands.sort(key=lambda c: (c["offset"], -len(c["name"]), c["type"], c["name"]))
-        kept, last_end, kept_span = [], -1, None
+        # reference greedy (server.py:1295-1302): exactly one mention per
+        # position — a same-span duplicate has offset < last_end, dropped
+        kept, last_end = [], -1
         for c in cands:
-            start, end = c["offset"], c["offset"] + len(c["name"])
+            start = c["offset"]
             if start >= last_end:
                 kept.append(c)
-                last_end, kept_span = end, (start, end)
-            elif kept_span == (start, end):
-                kept.append(c)
+                last_end = start + len(c["name"])
         kept.sort(key=lambda c: (c["offset"], c["type"]))
         for m_idx, c in enumerate(kept):
             c["mention_idx"] = m_idx
             out.append(c)
+    return out
+
+
+def merged_glof_mentions(
+    content: str, dict_index, glof_index, max_tokens: int, glof_max_tokens: int
+) -> list[dict]:
+    """Reference GLOF merge (server.py:1292-1334): both populations resolved
+    independently, GLOF mentions overlapping any normal mention's char range
+    dropped, merged sorted by offset."""
+    from collections import defaultdict
+
+    normal = detect_mentions(content, dict_index, max_tokens)
+    glof = detect_mentions(content, glof_index, glof_max_tokens)
+    by_sent: dict[int, tuple[list, list]] = defaultdict(lambda: ([], []))
+    for m in normal:
+        by_sent[m["sent_idx"]][0].append(m)
+    for m in glof:
+        by_sent[m["sent_idx"]][1].append(m)
+    out = []
+    for sent_idx in sorted(by_sent):
+        ns, gs = by_sent[sent_idx]
+        idx_set = {
+            i for m in ns for i in range(m["offset"], m["offset"] + len(m["name"]))
+        }
+        keep_g = [
+            m for m in gs
+            if all(
+                i not in idx_set
+                for i in range(m["offset"], m["offset"] + len(m["name"]))
+            )
+        ]
+        merged = sorted(ns + keep_g, key=lambda m: m["offset"])
+        for i, m in enumerate(merged):
+            m = dict(m)
+            m["mention_idx"] = i
+            out.append(m)
     return out
 
 

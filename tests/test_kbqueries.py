@@ -51,12 +51,14 @@ def test_disease_to_gene_blend(spark):
         "disease string, gene string, score double",
     )
     rows = {(r["disease"], r["gene"]): r for r in K.disease_to_gene_scores(db, pk).collect()}
-    # d1/g1: db=140→min(,100)=100; pk=5000→100*5000/10000=50 → 150
+    # hand-computed reference trace (kb_utils.py:1983-1990):
+    # d1/g1: db=140>0 → binarize to 100; pk=5000 → 100*5000/10000=50 → 150
     assert rows[("d1", "g1")]["pair_score"] == 150.0
-    # d2/g1: db=10, pk absent → 10
-    assert rows[("d2", "g1")]["pair_score"] == 10.0
-    # full-outer union keeps pk-only key d3/g2: db 0 + 100*min(20000,10000)/10000 = 100
-    assert rows[("d3", "g2")]["pair_score"] == 100.0
+    # d2/g1: db=10>0 → 100 (reference binarizes, NOT min(db,100)); pk absent → 100
+    assert rows[("d2", "g1")]["pair_score"] == 100.0
+    # pk-only key d3/g2 survives the full-outer union; pk term is UNCAPPED:
+    # db 0 + 100*20000/10000 = 200 (reference never clamps pk, kb_utils.py:1987)
+    assert rows[("d3", "g2")]["pair_score"] == 200.0
     assert rows[("d2", "g1")]["gene_score"] == 150.0  # max over diseases per gene
 
 

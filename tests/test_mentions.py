@@ -28,6 +28,51 @@ def test_mentions_match_python_oracle(spark):
     assert got == expected
 
 
+def test_glof_merge_matches_python_oracle(spark):
+    import hashlib
+
+    n = 30
+    src = fixtures.ingest(fixtures.source_table(spark, n))
+    ed = fixtures.entity_dict_df(spark)
+    gd = fixtures.glof_dict_df(spark)
+    sents, ments = M.build_mentions(src, ed)
+    gmax = max(len(t.split(" ")) for t, _ in fixtures.GLOF_TERMS)
+    gm = M.build_glof_mentions(sents, gd, gmax)
+    merged = M.subtract_glof_overlaps(ments, gm)
+    got = {
+        (r["doc_id"], r["sent_idx"], r["mention_idx"]): (r["name"], r["type"], r["offset"])
+        for r in merged.collect()
+    }
+    assert any(t == "GLOF" for _, t, _ in got.values()), "corpus must contain GLOF mentions"
+
+    ed_pdf = fixtures.build_entity_dict()
+    idx = oracle.build_dict_index(ed_pdf)
+    glof_idx = {(t, "GLOF"): [d] for t, d in fixtures.GLOF_TERMS}
+    max_tokens = max(len(nm.split(" ")) for nm in ed_pdf["name"])
+    expected = {}
+    for i in range(n):
+        repo, path, commit, _lang, content = fixtures.gen_doc(42, i)
+        doc_id = hashlib.sha256(f"{repo}\x00{path}\x00{commit}".encode()).hexdigest()[:16]
+        for m in oracle.merged_glof_mentions(content, idx, glof_idx, max_tokens, gmax):
+            expected[(doc_id, m["sent_idx"], m["mention_idx"])] = (
+                m["name"], m["type"], m["offset"]
+            )
+    assert got == expected
+
+
+def test_glof_evidence_shape(spark):
+    src = fixtures.ingest(fixtures.source_table(spark, 30))
+    ed, gd = fixtures.entity_dict_df(spark), fixtures.glof_dict_df(spark)
+    sents, ments = M.build_mentions(src, ed)
+    gmax = max(len(t.split(" ")) for t, _ in fixtures.GLOF_TERMS)
+    merged = M.subtract_glof_overlaps(ments, M.build_glof_mentions(sents, gd, gmax))
+    ev = M.glof_evidence(merged).collect()
+    assert ev, "co-sentence GLOF evidence must exist"
+    for r in ev:
+        assert r["direction"] in {"gof", "lof"}
+        assert r["type"] != "GLOF"
+
+
 def test_sentence_split_offsets(spark):
     src = fixtures.ingest(fixtures.source_table(spark, 15))
     sents = M.split_sentences(src).collect()

@@ -101,6 +101,32 @@ def test_sort_by_citation_and_impact(small_kb):
         assert vals == sorted(vals, reverse=True)
 
 
+def test_run_rel_summary_matches_selectors(small_kb):
+    """run_rel returns the page summary (server.py:924-958), and the
+    driver-side selection agrees relation-for-relation with the DataFrame
+    selectors — the two public APIs must pick identical rows on ties."""
+    res = rel.run_rel(
+        small_kb["entity_postings"],
+        small_kb["annotations"],
+        small_kb["sentences"],
+        small_kb["meta"],
+        e1_spec=("type_name", ("Gene", "braf")),
+        with_statistics=False,
+    )
+    assert res.summary is not None and res.summary
+    expected = {}
+    orr = summary.select_odds_ratio(res.relations).collect()
+    if orr:
+        expected["odds_ratio"] = (orr[0]["doc_id"], orr[0]["ann_id"])
+    cre = summary.select_cre(res.relations).collect()
+    if cre:
+        expected["rbert_cre"] = (cre[0]["doc_id"], cre[0]["ann_id"])
+    for r in summary.select_ore(res.relations).collect():
+        expected[r["annotator"]] = (r["doc_id"], r["ann_id"])
+    got = {s["annotator"]: (s["doc_id"], s["ann_id"]) for s in res.summary}
+    assert got == expected
+
+
 def test_summary_page(small_kb):
     hits = spec.evaluate_single(
         small_kb["entity_postings"], ("type_name", ("Gene", "braf"))

@@ -27,7 +27,10 @@ EXPECT = {
     "top_revenue_orders": (["TakeOrderedAndProject"], ["BatchEvalPython"]),
     "market_join": (["BroadcastHashJoin"], ["SortMergeJoin", "BatchEvalPython"]),
     "cosine_topk": (["TakeOrderedAndProject"], ["BatchEvalPython", "ArrowEvalPython"]),
-    "rel_relevance_page": ([], ["BatchEvalPython"]),
+    # pagination/ranking must plan TakeOrderedAndProject: the window ranks
+    # only the ≤page_end survivors, never the full relation in one task
+    "rel_relevance_page": (["TakeOrderedAndProject"], ["BatchEvalPython"]),
+    "rrf_fusion_orders": (["TakeOrderedAndProject"], ["BatchEvalPython"]),
     "spec_and_or": ([], ["BatchEvalPython"]),
     "minhash_signatures": (["HashAggregate"], ["BatchEvalPython", "ArrowEvalPython"]),
     "simhash_docs": (["HashAggregate"], ["BatchEvalPython", "ArrowEvalPython"]),
@@ -35,7 +38,7 @@ EXPECT = {
     "lang_id_docs": ([], ["BatchEvalPython", "ArrowEvalPython"]),
     "fingerprint_docs": ([], ["BatchEvalPython", "ArrowEvalPython"]),
     "quality_scores": ([], ["BatchEvalPython", "ArrowEvalPython"]),
-    "orders_page": ([], ["BatchEvalPython"]),
+    "orders_page": (["TakeOrderedAndProject"], ["BatchEvalPython"]),
     "anti_join_customers": (["BroadcastHashJoin"], ["BatchEvalPython"]),
 }
 
