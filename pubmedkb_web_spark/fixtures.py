@@ -236,15 +236,41 @@ def glof_dict_df(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(pdf, schema=schemas.ENTITY_DICT)
 
 
+def journal_impact_table(spark: SparkSession) -> DataFrame:
+    """journal_impact.csv-shaped fixture (kb_utils.py:1805-1815): one row
+    per distinct fixture journal, covering accept-by-ratio (≥70%),
+    accept-by-substring (ratio <70 but match_substring True) and reject
+    (ratio <70, no substring) cases."""
+    rows = []
+    for n in range(20):
+        jn = f"journal and rev {n}"  # normalized form of 'Journal & Rev. N'
+        if n % 5 == 0:
+            ratio, sub = "50%", "False"  # rejected → null impact downstream
+        elif n % 3 == 0:
+            ratio, sub = "65%", "True"   # accepted via substring
+        else:
+            ratio, sub = "85%", "False"  # accepted via ratio
+        rows.append((jn, 100 + n, ratio, sub, jn, f"{(n % 90) / 10.0:.3f}"))
+    return spark.createDataFrame(
+        rows,
+        "journal string, articles long, match_ratio string, "
+        "match_substring string, match_journal string, match_impact string",
+    )
+
+
 def meta_table(spark: SparkSession, source_ingested: DataFrame, seed: int = SEED) -> DataFrame:
     """meta(doc_id, …) fixture — FIXTURES.md §6, kb_utils.py:1818-1831.
 
     Derived deterministically from doc_id so it needs no extra generator
     state; includes non-numeric year/citation fallback cases
     (server.py:846-869) and journals needing normalization.
-    """
+    ``journal_impact`` comes through the real build-side path: normalized
+    journal name → acceptance-filtered impact map broadcast join
+    (kb_utils.py:1812-1830), NOT a fabricated column."""
+    from .query import kbqueries
+
     h = F.conv(F.substring("doc_id", 1, 8), 16, 10).cast("long")
-    return source_ingested.select(
+    base = source_ingested.select(
         "doc_id",
         F.concat(F.lit("title "), F.col("path")).alias("title"),
         F.concat(F.lit("author"), (h % 50).cast("string")).alias("author"),
@@ -253,7 +279,6 @@ def meta_table(spark: SparkSession, source_ingested: DataFrame, seed: int = SEED
         F.concat(F.lit("10.1000/"), F.col("doc_id")).alias("doi"),
         F.array(F.lit("Journal Article")).alias("pub_types"),
         (h % 1000).cast("long").alias("citation"),
-        F.when(h % 11 == 0, F.lit(None).cast("string"))
-        .otherwise(F.format_number((h % 90).cast("double") / 10.0, 3))
-        .alias("journal_impact"),
     )
+    impact = kbqueries.journal_impact_map(journal_impact_table(spark))
+    return kbqueries.enrich_meta_with_impact(base, impact)

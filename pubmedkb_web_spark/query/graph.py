@@ -48,6 +48,140 @@ def bfs_subgraph(
     return visited
 
 
+# MeSH node-label precedence = the reference's chronological add order
+# (add_and_get_node keeps the FIRST label, kb_utils.py:2255-2262)
+_MESH_LABEL_PRIO = [
+    ("query", 0), ("super-category", 1), ("sub-category", 2),
+    ("sibling", 4), ("supplemental", 5), ("descriptor", 6),
+]
+# label_to_level gate for supplemental expansion (kb_utils.py:2338)
+_MESH_LABEL_LEVEL = {"query": 1, "sub-category": 2, "super-category": 3, "sibling": 4}
+
+
+def mesh_subgraph(
+    nodes: DataFrame,
+    query_meshes: list[str],
+    super_level: int = 3,
+    sub_level: int = 1,
+    sibling_level: int = 1,
+    supplemental_level: int = 1,
+) -> tuple[DataFrame, DataFrame]:
+    """The /query_mesh_disease subgraph (kb_utils.py:2264-2352) over a MeSH
+    node table ``nodes(mesh, display_name, parent_list, child_list,
+    supplemental_list, descriptor_list, is_supplemental)`` — the MESHNode
+    row model (kb_utils.py:2196-2228) keyed by mesh id instead of row index.
+
+    Phases exactly as the reference: query → ancestors (super_level
+    frontier hops) → descendants (sub_level hops) → siblings (parents of
+    query + their children, iff sibling_level == 1) → supplementals of
+    every node whose first label passes the label_to_level gate →
+    descriptors of query nodes. A node keeps its FIRST label
+    (chronological == priority order). Each hop is one distributed
+    explode-join on the adjacency arrays; levels are small constants
+    (defaults ≤3), so the driver loop is bounded like any BFS.
+
+    Returns (nodes_with_label, edges(src, dst)); edges point parent→child,
+    node→supplemental, descriptor→query, deduplicated.
+    """
+    spark = nodes.sparkSession
+    clean = [m[len("MESH:"):] if m.startswith("MESH:") else m for m in query_meshes]
+    qdf = (
+        spark.createDataFrame([(m,) for m in clean], "mesh string")
+        .join(nodes.select("mesh"), "mesh")  # drop unknown ids (l.2277-2281)
+        .localCheckpoint(eager=True)
+    )
+
+    label_batches = [qdf.select("mesh", F.lit("query").alias("label"), F.lit(0).alias("prio"))]
+    edge_batches = []
+
+    def hop(frontier: DataFrame, list_col: str, parent_side: bool):
+        """frontier ⋈ nodes → explode adjacency; returns (edges, next)."""
+        exp = frontier.join(nodes.select("mesh", list_col), "mesh").select(
+            F.col("mesh").alias("_n"), F.explode(list_col).alias("_m")
+        )
+        if parent_side:  # _m is the parent: edge (parent, node)
+            e = exp.select(F.col("_m").alias("src"), F.col("_n").alias("dst"))
+        else:  # _m is the child/supplemental: edge (node, _m)
+            e = exp.select(F.col("_n").alias("src"), F.col("_m").alias("dst"))
+        nxt = exp.select(F.col("_m").alias("mesh")).distinct().localCheckpoint(eager=True)
+        return e, nxt
+
+    frontier = qdf
+    for _ in range(super_level):
+        e, frontier = hop(frontier, "parent_list", parent_side=True)
+        edge_batches.append(e)
+        if frontier.isEmpty():
+            break
+        label_batches.append(
+            frontier.select("mesh", F.lit("super-category").alias("label"), F.lit(1).alias("prio"))
+        )
+
+    frontier = qdf
+    for _ in range(sub_level):
+        e, frontier = hop(frontier, "child_list", parent_side=False)
+        edge_batches.append(e)
+        if frontier.isEmpty():
+            break
+        label_batches.append(
+            frontier.select("mesh", F.lit("sub-category").alias("label"), F.lit(2).alias("prio"))
+        )
+
+    if sibling_level == 1:
+        e, parents = hop(qdf, "parent_list", parent_side=True)
+        edge_batches.append(e)
+        if not parents.isEmpty():
+            label_batches.append(
+                parents.select("mesh", F.lit("super-category").alias("label"), F.lit(3).alias("prio"))
+            )
+            e2, siblings = hop(parents, "child_list", parent_side=False)
+            edge_batches.append(e2)
+            label_batches.append(
+                siblings.select("mesh", F.lit("sibling").alias("label"), F.lit(4).alias("prio"))
+            )
+
+    def resolve(batches: list[DataFrame]) -> DataFrame:
+        allb = batches[0]
+        for b in batches[1:]:
+            allb = allb.unionByName(b)
+        return allb.groupBy("mesh").agg(F.min_by("label", "prio").alias("label"))
+
+    pre_supp = resolve(label_batches).localCheckpoint(eager=True)
+
+    # supplementals for every node whose first label clears the gate
+    gate = F.create_map(*[F.lit(x) for kv in _MESH_LABEL_LEVEL.items() for x in kv])
+    eligible = pre_supp.filter(gate[F.col("label")] <= F.lit(supplemental_level))
+    e_supp, supp = hop(eligible.select("mesh"), "supplemental_list", parent_side=False)
+    edge_batches.append(e_supp)
+    label_batches.append(
+        supp.select("mesh", F.lit("supplemental").alias("label"), F.lit(5).alias("prio"))
+    )
+
+    # descriptors of query nodes: edge (descriptor, query) (l.2347-2351)
+    e_desc, desc = hop(qdf, "descriptor_list", parent_side=True)
+    edge_batches.append(e_desc)
+    label_batches.append(
+        desc.select("mesh", F.lit("descriptor").alias("label"), F.lit(6).alias("prio"))
+    )
+
+    final_labels = resolve(label_batches)
+    nodes_out = nodes.join(final_labels, "mesh")
+    edges_out = edge_batches[0]
+    for e in edge_batches[1:]:
+        edges_out = edges_out.unionByName(e)
+    return nodes_out, edges_out.distinct()
+
+
+def mesh_name_lookup(mesh_names: DataFrame, meshes: list[str]) -> DataFrame:
+    """mesh → ordered name list (MESHNameKB.get_mesh_name_by_mesh_id,
+    kb_utils.py:2172-2176): names table (mesh, name, rank) rolled up."""
+    hits = mesh_names.filter(F.col("mesh").isin(meshes))
+    return hits.groupBy("mesh").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("rank", "name"))), lambda s: s["name"]
+        ).alias("names")
+    )
+
+
 def chem_disease_lookup(
     chem_disease: DataFrame,
     c: str | None = None,

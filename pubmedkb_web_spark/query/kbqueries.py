@@ -162,6 +162,34 @@ def _nfkc(s: pd.Series) -> pd.Series:
     return s.map(lambda x: unicodedata.normalize("NFKC", x) if x is not None else None)
 
 
+def journal_impact_map(journal_impact: DataFrame) -> DataFrame:
+    """Acceptance filter over the journal-impact match table
+    (kb_utils.py:1812-1815): keep rows with ``int(match_ratio[:-1]) >= 70 OR
+    match_substring == 'True'``. Input columns mirror the reference csv:
+    (journal, articles, match_ratio, match_substring, match_journal,
+    match_impact); ``journal`` is the already-normalized name."""
+    ratio = F.regexp_extract(F.col("match_ratio"), r"^(\d+)", 1).try_cast("int")
+    accepted = journal_impact.filter(
+        (ratio >= 70) | (F.lower(F.col("match_substring").cast("string")) == "true")
+    )
+    return accepted.select("journal", F.col("match_impact").alias("journal_impact"))
+
+
+def enrich_meta_with_impact(meta: DataFrame, impact_map: DataFrame) -> DataFrame:
+    """meta.journal → normalized → impact (Meta.get_meta_by_pmid,
+    kb_utils.py:1826-1830). The impact table is small (one row per journal)
+    → broadcast; unmatched journals get null impact (the reference returns
+    '' which downstream float() treats as 0 — sorted_page does the same via
+    try_cast+coalesce)."""
+    jnorm = normalize_journal(F.col("journal"))
+    right = F.broadcast(impact_map.withColumnRenamed("journal", "_jnorm"))
+    return (
+        meta.withColumn("_jnorm", jnorm)
+        .join(right, "_jnorm", "left")
+        .drop("_jnorm")
+    )
+
+
 def normalize_journal(col: Column) -> Column:
     """NFKC → lower → '&'→' and ' → non-alnum→space → collapse whitespace
     (kb_utils.py:1771-1784). Only the NFKC step needs Python (pandas UDF);

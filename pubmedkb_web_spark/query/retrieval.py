@@ -17,7 +17,7 @@ re-rank via Qdrant (kb_utils.py:1112-1185). Spark-first replacements:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
@@ -116,6 +116,83 @@ def rank_by(
     order = [oc, F.col(key).asc()]
     limited = df.select(key, order_col).orderBy(*order).limit(depth)
     return limited.withColumn("rank", F.row_number().over(W.orderBy(*order)))
+
+
+def qa_target_filter(
+    candidates: DataFrame,
+    d_set: list[str] | None = None,
+    g_set: list[str] | None = None,
+    v_set: list[str] | None = None,
+) -> DataFrame:
+    """The QA retrieval target filter (kb_utils.py:2456-2483) over a
+    candidate relation ``(doc_id, d_name_matches, g_name_matches,
+    v_name_matches, triplet_list, …)``:
+
+    - rows with no triplets are dropped (l.2459-2460);
+    - with a disease target set: any d ∈ d_name_matches (l.2461-2466);
+    - with gene/variant targets: any g ∈ g_name_matches, OR the
+      **gene-prefix fallback** — any v2 ∈ v_name_matches whose prefix
+      before '_' is a target gene (variant ids are 'geneid_variantid',
+      l.2471-2476) — OR any v ∈ v_set in v_name_matches (l.2477-2481).
+
+    Faithful quirk: the reference computes ``v2[:v2.find('_')]`` — when a
+    variant id has NO underscore, find() is -1 and the slice drops the
+    *last* character; replicated here so parity holds on malformed ids.
+
+    All predicates are arrays_overlap / exists on array columns — pure
+    codegen, no Python, embarrassingly parallel at any scale.
+    """
+    df = candidates.filter(F.size("triplet_list") > 0)
+    if d_set:
+        df = df.filter(
+            F.arrays_overlap("d_name_matches", F.array(*[F.lit(d) for d in d_set]))
+        )
+    if g_set or v_set:
+        cond = F.lit(False)
+        if g_set:
+            cond = cond | F.arrays_overlap(
+                "g_name_matches", F.array(*[F.lit(g) for g in g_set])
+            )
+            glist = list(g_set)
+
+            def prefix_in_gset(v: Column) -> Column:
+                i = F.instr(v, "_")
+                g2 = F.when(i > 0, v.substr(F.lit(1), i - 1)).otherwise(
+                    v.substr(F.lit(1), F.length(v) - 1)
+                )
+                return g2.isin(glist)
+
+            cond = cond | F.exists("v_name_matches", prefix_in_gset)
+        if v_set:
+            cond = cond | F.arrays_overlap(
+                "v_name_matches", F.array(*[F.lit(v) for v in v_set])
+            )
+        df = df.filter(cond)
+    return df
+
+
+def fetch_paper_text(paper_text: DataFrame, doc_ids: DataFrame | list[str]) -> DataFrame:
+    """PaperText.query (kb_utils.py:1188-1211): pmid → (title, abstract);
+    absent pmids yield ("", "") like the reference's None fallback.
+
+    The gdbm point-lookup store becomes one broadcast-hash probe: the id
+    list is page-sized → broadcast against the big paper_text scan (one
+    pass, id pushdown via the join), then the not-found remainder is
+    rebuilt driver-light from the id list itself."""
+    spark = paper_text.sparkSession
+    if isinstance(doc_ids, list):
+        ids = spark.createDataFrame([(d,) for d in doc_ids], "doc_id string")
+    else:
+        ids = doc_ids.select("doc_id")
+    found = paper_text.select("doc_id", "title", "abstract").join(
+        F.broadcast(ids), "doc_id"
+    )
+    missing = ids.join(F.broadcast(found.select("doc_id")), "doc_id", "left_anti")
+    return found.unionByName(
+        missing.select(
+            "doc_id", F.lit("").alias("title"), F.lit("").alias("abstract")
+        )
+    )
 
 
 def cosine(vec_col: F.Column, query: list[float]) -> F.Column:

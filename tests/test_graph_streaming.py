@@ -21,6 +21,79 @@ def test_bfs_direction_in(spark):
     assert got == {"root": 0, "child1": 1, "child2": 1}
 
 
+def _mesh_nodes(spark):
+    """Tiny MeSH forest: D01 → {D02, D03}; D02 → {D04, D05}; D04 → D06.
+    Supplemental C01 hangs off D04 (and points back via descriptor_list)."""
+    mk = lambda mesh, name, parents, children, supp, desc, is_supp: (  # noqa: E731
+        mesh, name, parents, children, supp, desc, is_supp
+    )
+    rows = [
+        mk("D01", "root", [], ["D02", "D03"], [], [], False),
+        mk("D02", "mid", ["D01"], ["D04", "D05"], [], [], False),
+        mk("D03", "aunt", ["D01"], [], [], [], False),
+        mk("D04", "query-target", ["D02"], ["D06"], ["C01"], [], False),
+        mk("D05", "sibling", ["D02"], [], [], [], False),
+        mk("D06", "child", ["D04"], [], [], [], False),
+        mk("C01", "supplemental", [], [], [], ["D04"], True),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "mesh string, display_name string, parent_list array<string>, "
+        "child_list array<string>, supplemental_list array<string>, "
+        "descriptor_list array<string>, is_supplemental boolean",
+    )
+
+
+def test_mesh_subgraph_hand_trace(spark):
+    """Hand trace of kb_utils.py:2264-2352 over the tiny forest."""
+    nodes, edges = graph.mesh_subgraph(
+        _mesh_nodes(spark), ["MESH:D04"],
+        super_level=2, sub_level=1, sibling_level=1, supplemental_level=1,
+    )
+    labels = {r["mesh"]: r["label"] for r in nodes.collect()}
+    assert labels == {
+        "D04": "query",
+        "D02": "super-category",   # ancestor level 1
+        "D01": "super-category",   # ancestor level 2
+        "D06": "sub-category",     # descendant level 1
+        "D05": "sibling",          # child of D04's parent
+        "C01": "supplemental",     # supplemental of the query node
+    }
+    edge_set = {(r["src"], r["dst"]) for r in edges.collect()}
+    assert edge_set == {
+        ("D02", "D04"), ("D01", "D02"),  # ancestor edges
+        ("D04", "D06"),                   # descendant edge
+        ("D02", "D05"),                   # sibling edge (parent → sibling)
+        ("D04", "C01"),                   # node → supplemental
+    }
+
+
+def test_mesh_subgraph_supplemental_query(spark):
+    """Query on a supplemental record: descriptor phase adds the back-link
+    (kb_utils.py:2347-2351), no parents/children to walk."""
+    nodes, edges = graph.mesh_subgraph(
+        _mesh_nodes(spark), ["C01"], super_level=3, sub_level=1,
+        sibling_level=1, supplemental_level=1,
+    )
+    labels = {r["mesh"]: r["label"] for r in nodes.collect()}
+    assert labels == {"C01": "query", "D04": "descriptor"}
+    assert {(r["src"], r["dst"]) for r in edges.collect()} == {("D04", "C01")}
+
+
+def test_mesh_subgraph_unknown_query(spark):
+    nodes, edges = graph.mesh_subgraph(_mesh_nodes(spark), ["MESH:ZZZ"])
+    assert nodes.isEmpty() and edges.isEmpty()
+
+
+def test_mesh_name_lookup(spark):
+    names = spark.createDataFrame(
+        [("D04", "melanoma", 0), ("D04", "skin cancer", 1), ("D05", "other", 0)],
+        "mesh string, name string, rank int",
+    )
+    out = {r["mesh"]: r["names"] for r in graph.mesh_name_lookup(names, ["D04"]).collect()}
+    assert out == {"D04": ["melanoma", "skin cancer"]}
+
+
 def test_chem_disease_three_paths(spark):
     cd = spark.createDataFrame(
         [

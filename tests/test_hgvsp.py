@@ -34,6 +34,50 @@ def test_parse_classes(raw, kind, ref, pos, alt):
     assert got["text"]
 
 
+@pytest.mark.parametrize(
+    "raw,kind,ext_kind,ext_pos",
+    [
+        ("p.Met1ext-5", "ext", "N-terminal", "-5"),
+        ("p.Ter110GlnextTer17", "ext", "C-terminal", "17"),
+        ("p.*110Glnext*17", "ext", "C-terminal", "17"),
+        ("p.Ter110GlnextTer?", "ext", "C-terminal", "?"),
+    ],
+)
+def test_ext_decoding(raw, kind, ext_kind, ext_pos):
+    """Extension args decoded into fields (HGVSp_parser.py:81-94)."""
+    got = H.parse_hgvsp(raw)
+    assert got["kind"] == kind
+    assert got["ext_kind"] == ext_kind
+    assert got["ext_pos"] == ext_pos
+    assert ext_pos in got["text"]
+
+
+def test_mosaic_and_uncertain_and_start_forms():
+    """HGVSp_parser.py:26-28 (_?), 96-104 (p.0 / Met1?), 130-170 (=/, ^)."""
+    m = H.parse_hgvsp("p.Trp24=/Cys")
+    assert m["kind"] == "mosaic" and m["ref_aa"] == "W" and m["alt_aa"] == "C"
+    m2 = H.parse_hgvsp("p.Trp24=/")
+    assert m2["kind"] == "mosaic" and m2["alt_aa"] is None
+
+    u = H.parse_hgvsp("p.Gly56Ala^Ser^Cys")
+    assert u["kind"] == "substitution_uncertain"
+    assert u["alt_aa"] == "A^S^C"
+    assert "A, S, or C" in u["text"]
+
+    assert H.parse_hgvsp("p.0")["kind"] == "no_protein"
+    s = H.parse_hgvsp("p.Met1?")
+    assert s["kind"] == "start_unknown" and s["pos_start"] == 1
+
+    f = H.parse_hgvsp("p.MetGly1_?2")
+    assert f["kind"] == "frameshift_or_start_lost"
+
+    t = H.parse_hgvsp("p.Lys2_Leu3insTer12")
+    assert t["kind"] == "ins_ter" and "12 residues downstream" in t["text"]
+
+    enc = H.parse_hgvsp("p.Cys188%3D")  # url-encoded '='
+    assert enc["kind"] == "synonymous" and enc["ref_aa"] == "C"
+
+
 def test_unparseable_and_null():
     assert H.parse_hgvsp("garbage")["kind"] == "unknown"
     assert H.parse_hgvsp(None)["kind"] == "unknown"

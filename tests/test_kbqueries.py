@@ -73,6 +73,26 @@ def test_gvd_pivot(spark):
     assert out[("x", "y")]["rbert_cre"] == 1
 
 
+def test_journal_impact_acceptance_and_join(spark):
+    """Hand trace of kb_utils.py:1812-1815 + the meta enrichment join."""
+    from pubmedkb_web_spark import fixtures
+
+    imp = K.journal_impact_map(fixtures.journal_impact_table(spark))
+    accepted = {r["journal"]: r["journal_impact"] for r in imp.collect()}
+    assert "journal and rev 0" not in accepted       # 50%, no substring
+    assert accepted["journal and rev 3"] == "0.300"  # 65% but substring
+    assert accepted["journal and rev 1"] == "0.100"  # 85%
+
+    meta = spark.createDataFrame(
+        [("d1", "Journal & Rev. 1"), ("d2", "Journal & Rev. 0"), ("d3", "Unknown J.")],
+        "doc_id string, journal string",
+    )
+    out = {r["doc_id"]: r["journal_impact"] for r in K.enrich_meta_with_impact(meta, imp).collect()}
+    assert out["d1"] == "0.100"   # normalization 'Journal & Rev. 1' → key
+    assert out["d2"] is None      # journal exists but was rejected
+    assert out["d3"] is None      # journal absent from the map
+
+
 def test_glof_rollup(spark):
     g = spark.createDataFrame(
         [("Gene", "braf", "gof", "p1", 0), ("Gene", "braf", "gof", "p1", 1),

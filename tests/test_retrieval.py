@@ -51,6 +51,46 @@ def test_rank_by_tiebreak(spark):
     assert ranks == {"a": 1, "b": 2, "c": 3}
 
 
+def test_qa_target_filter_hand_trace(spark):
+    """kb_utils.py:2456-2483 incl. the gene-prefix fallback and its
+    no-underscore slice quirk (v2[:v2.find('_')] drops the last char)."""
+    rows = [
+        # doc, d_matches, g_matches, v_matches, triplets
+        ("p1", ["mesh:d1"], ["g1"], [], ["t"]),        # gene direct hit
+        ("p2", ["mesh:d1"], [], ["g2_v9"], ["t"]),     # gene-prefix fallback
+        ("p3", ["mesh:d1"], [], ["rs777"], ["t"]),     # variant direct hit
+        ("p4", ["mesh:d1"], [], ["g9_v1"], ["t"]),     # no target match
+        ("p5", ["mesh:d2"], ["g1"], [], ["t"]),        # wrong disease
+        ("p6", ["mesh:d1"], ["g1"], [], []),           # no triplets
+        ("p7", ["mesh:d1"], [], ["g1X"], ["t"]),       # quirk: no '_', 'g1X'[:-1]=='g1'
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id string, d_name_matches array<string>, g_name_matches array<string>, "
+        "v_name_matches array<string>, triplet_list array<string>",
+    )
+    out = {
+        r["doc_id"]
+        for r in R.qa_target_filter(
+            df, d_set=["mesh:d1"], g_set=["g1", "g2"], v_set=["rs777"]
+        ).collect()
+    }
+    assert out == {"p1", "p2", "p3", "p7"}
+    # disease-only query ignores gene/variant columns
+    out_d = {r["doc_id"] for r in R.qa_target_filter(df, d_set=["mesh:d2"]).collect()}
+    assert out_d == {"p5"}
+
+
+def test_fetch_paper_text(spark):
+    store = spark.createDataFrame(
+        [("p1", "T1", "A1"), ("p2", "T2", "A2")],
+        "doc_id string, title string, abstract string",
+    )
+    out = {r["doc_id"]: (r["title"], r["abstract"])
+           for r in R.fetch_paper_text(store, ["p1", "p9"]).collect()}
+    assert out == {"p1": ("T1", "A1"), "p9": ("", "")}
+
+
 def test_retrieval_chain(spark):
     """BM25 → impact-rank RRF → cosine re-rank (the /query_pubmed_qa chain
     shape, SURVEY.md §3.3)."""
