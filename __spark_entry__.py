@@ -27,7 +27,8 @@ from pubmedkb_web_spark import fixtures
 from pubmedkb_web_spark.functions.hashing import MERSENNE31, affine_params, md5_int60
 from pubmedkb_web_spark.ops import dedup, multimodal, similarity, textstats
 from pubmedkb_web_spark.pipeline import extractors, materialize, runner
-from pubmedkb_web_spark.query import graph, nen, rel, retrieval, spec
+from pubmedkb_web_spark.query import graph, nen, rel, retrieval, spec, varsum
+from pubmedkb_web_spark.query import kbqueries as kbq
 from pubmedkb_web_spark.streaming import events as streaming_events
 
 M31 = MERSENNE31
@@ -468,6 +469,205 @@ def q_ann_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_bucketed_top_k(emb, qvec, top_k=10)
 
 
+# ----- round-2 operator gates ------------------------------------------------
+
+def q_disease_gene_blend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4/A5 blend (kb_utils.py:1983-1990 semantics: binarized db +
+    uncapped normalized pk) over surrogate score tables from orders."""
+    orders = _t(spark, sf_dir, "orders")
+    # integer-valued doubles: sums are exact in binary, so the blend hashes
+    # identically across engines regardless of aggregation order
+    db = orders.filter(F.col("o_orderkey") % 3 == 0).select(
+        F.col("o_orderpriority").alias("disease"),
+        (F.col("o_custkey") % 20).cast("string").alias("gene"),
+        (F.col("o_custkey") % 7).cast("double").alias("score"),
+    )
+    pk = orders.filter(F.col("o_orderkey") % 3 == 1).select(
+        F.col("o_orderpriority").alias("disease"),
+        (F.col("o_custkey") % 20).cast("string").alias("gene"),
+        ((F.col("o_custkey") % 11) * 250).cast("double").alias("score"),
+    )
+    out = kbq.disease_to_gene_scores(db, pk)
+    return out.select("disease", "gene", "pair_score", "gene_score")
+
+
+def q_journal_impact_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Acceptance filter + normalized broadcast join (kb_utils.py:1805-1830)."""
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    meta = sup.select(
+        F.col("s_suppkey").alias("doc_id"),
+        F.concat(F.lit("Journal & Rev. "), (F.col("s_suppkey") % 25).cast("string")).alias("journal"),
+    )
+    impact_raw = nat.select(
+        F.concat(F.lit("journal and rev "), F.col("n_nationkey").cast("string")).alias("journal"),
+        (F.lit(100)).cast("long").alias("articles"),
+        F.concat((40 + F.col("n_nationkey") * 3).cast("string"), F.lit("%")).alias("match_ratio"),
+        F.when(F.col("n_nationkey") % 4 == 0, F.lit("True")).otherwise(F.lit("False")).alias("match_substring"),
+        F.lit("x").alias("match_journal"),
+        F.round(F.col("n_nationkey") / 10.0, 3).cast("string").alias("match_impact"),
+    )
+    out = kbq.enrich_meta_with_impact(meta, kbq.journal_impact_map(impact_raw))
+    return out.select("doc_id", "journal", "journal_impact")
+
+
+def q_glof_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GLOF evidence rollup (server.py:1455-1523): per (key, direction,
+    doc) sentence counts, docs ranked by evidence desc."""
+    dt = _doc_tokens(spark, sf_dir).filter(F.col("tok").isin(VOCAB))
+    glof = dt.select(
+        F.lit("Token").alias("type"),
+        F.col("tok").alias("key"),
+        F.when(F.col("ord") % 2 == 0, F.lit("gof")).otherwise(F.lit("lof")).alias("direction"),
+        F.col("doc_id").cast("string").alias("doc_id"),
+        (F.col("ord") % 7).cast("int").alias("sent_idx"),
+    ).dropDuplicates()
+    out = kbq.glof_rollup(glof)
+    return out.select(
+        "key", "direction",
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_sents", "rank",
+    )
+
+
+def _mesh_nodes_from_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-heap MeSH forest over part keys: parent(k)=k//2; every 7th
+    node carries a supplemental record s<k> (which back-links via
+    descriptor_list)."""
+    part = _t(spark, sf_dir, "part").select(F.col("p_partkey").cast("long").alias("k"))
+    n_max = part.agg(F.max("k")).first()[0]
+    k = F.col("k")
+    descriptors = part.select(
+        k.cast("string").alias("mesh"),
+        F.concat(F.lit("node "), k.cast("string")).alias("display_name"),
+        F.when(k >= 2, F.array(F.floor(k / 2).cast("string"))).otherwise(
+            F.array().cast("array<string>")
+        ).alias("parent_list"),
+        F.filter(
+            F.array((k * 2).cast("string"), (k * 2 + 1).cast("string")),
+            lambda c: c.cast("long") <= F.lit(n_max),
+        ).alias("child_list"),
+        F.when(k % 7 == 0, F.array(F.concat(F.lit("s"), k.cast("string")))).otherwise(
+            F.array().cast("array<string>")
+        ).alias("supplemental_list"),
+        F.array().cast("array<string>").alias("descriptor_list"),
+        F.lit(False).alias("is_supplemental"),
+    )
+    supplementals = part.filter(k % 7 == 0).select(
+        F.concat(F.lit("s"), k.cast("string")).alias("mesh"),
+        F.concat(F.lit("supp "), k.cast("string")).alias("display_name"),
+        F.array().cast("array<string>").alias("parent_list"),
+        F.array().cast("array<string>").alias("child_list"),
+        F.array().cast("array<string>").alias("supplemental_list"),
+        F.array(k.cast("string")).alias("descriptor_list"),
+        F.lit(True).alias("is_supplemental"),
+    )
+    return descriptors.unionByName(supplementals)
+
+
+def q_mesh_subgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Labeled multi-phase MeSH traversal (kb_utils.py:2264-2352) from
+    node 63: ancestors 31,15; child 126,127; sibling 62; supplemental s63."""
+    nodes = _mesh_nodes_from_parts(spark, sf_dir)
+    labeled, _edges = graph.mesh_subgraph(
+        nodes, ["63"], super_level=2, sub_level=1, sibling_level=1, supplemental_level=1
+    )
+    return labeled.select("mesh", "display_name", "label", "is_supplemental")
+
+
+def q_varsum_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-fidelity VarSum table_cleaning (VarSum_germline.py:55-277) over
+    a customer-derived raw record table; checks the CDS parse, exon/intron
+    classification, rank, ClinVar + consequence translations, MANE
+    transcript indexing and numeric formatting value-for-value."""
+    cust = _t(spark, sf_dir, "customer").select(F.col("c_custkey").cast("long").alias("k"))
+    k = F.col("k")
+    pos = (k % 500 + 1).cast("string")
+    hgvsc_tail = (
+        F.when(k % 7 == 0, F.concat(F.lit("c.*"), pos, F.lit("del")))
+        .when(k % 7 == 1, F.concat(F.lit("c.-"), pos, F.lit("A>G")))
+        .when(k % 7 == 2, F.concat(F.lit("c."), pos, F.lit("+2T>C")))
+        .when(k % 7 == 3, F.concat(F.lit("c."), pos, F.lit("_"), (k % 500 + 3).cast("string"), F.lit("dup")))
+        .otherwise(F.concat(F.lit("c."), pos, F.lit("A>G")))
+    )
+    raw = cust.select(
+        k.alias("k"),
+        F.when(k % 11 == 0, F.lit(".")).otherwise(F.concat(F.lit("GENE"), (k % 40).cast("string"))).alias("vep_gene_name"),
+        F.when(k % 3 == 0, F.lit("1/1")).when(k % 3 == 1, F.lit("0/1")).otherwise(F.lit(".")).alias("format_gt"),
+        F.when(k % 13 == 0, F.lit(".")).otherwise(F.concat(F.lit("NM_"), (k % 97).cast("string"), F.lit(".2:"), hgvsc_tail)).alias("vep_hgvsc"),
+        F.when(k % 5 == 0, F.lit("missense_variant,intron_variant"))
+        .when(k % 5 == 1, F.lit("stop_gained"))
+        .when(k % 5 == 2, F.lit("."))
+        .otherwise(F.lit("synonymous_variant")).alias("vep_consequence"),
+        F.lit(".").alias("vep_hgvsp"),
+        F.when(k % 4 == 0, F.lit(".")).otherwise(F.concat((k % 9 + 1).cast("string"), F.lit("/12"))).alias("vep_exon_intron_rank"),
+        F.when(k % 6 == 0, F.lit("Pathogenic")).when(k % 6 == 1, F.lit("Likely_benign"))
+        .when(k % 6 == 2, F.lit("Uncertain_significance")).otherwise(F.lit(".")).alias("clinvar_clnsig"),
+        F.concat(F.lit("ENST"), (k % 50).cast("string"), F.lit(".3")).alias("vep_transcript_id"),
+        F.lit(".").alias("annovar_transcript_id"),
+        F.when(k % 8 == 0, F.lit(".")).otherwise(
+            F.format_string("%.6f", (k % 1000).cast("double") / 100000.0)
+        ).alias("gnomad_af_popmax"),
+        F.lit(".").alias("taiwanbiobank_af"),
+        F.when(k % 9 == 0, F.lit("ClinVar,DeafnessVD,HotspotDB"))
+        .when(k % 9 == 1, F.lit("ClinVar,ClinVar"))
+        .otherwise(F.lit(".")).alias("hotspot_dbs"),
+        F.concat(F.lit("ENST"), (k % 25).cast("string"), F.lit(";ENST"), (k % 50).cast("string")).alias("ps_transcript_ids"),
+        F.concat((k % 10).cast("string"), F.lit(";0.5")).alias("ps_sift"),
+        F.lit(".").alias("ps_polyphen2"),
+        F.lit(".").alias("ps_vest4"),
+        F.lit(".").alias("ps_provean"),
+        F.when(k % 2 == 0, F.format_string("%.1f", (k % 40).cast("double") / 2.0))
+        .otherwise(F.lit(".")).alias("cadd_phred"),
+        F.lit(".").alias("dann_score"),
+        F.lit(".").alias("spliceai_ds_ag"),
+        F.lit(".").alias("spliceai_ds_al"),
+        F.lit(".").alias("spliceai_ds_dg"),
+        F.lit(".").alias("spliceai_ds_dl"),
+        F.format_string("%.2f", (k % 100).cast("double") / 100.0).alias("phylop100way_rank"),
+    )
+    cleaned = varsum.clean_varsum_table(raw.drop("k"))
+    return cleaned.select(
+        "gene_name", "genotype", "genotype_zhtw", "reference", "hgvsc",
+        "cds_position", "exon_intron", "exon_or_intron_rank", "clinvar_record",
+        "consequence", "transcriptid_mane", "transcriptid_index", "sift",
+        "cadd_phred", "pathogenicity", "phylop100way", "conservation",
+        "gnomad_freq", "hotspot",
+    )
+
+
+def q_qa_target_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QA target filter incl. the gene-prefix fallback + no-underscore
+    quirk (kb_utils.py:2456-2483) over per-doc token-match arrays."""
+    dt = _doc_tokens(spark, sf_dir)
+    per_doc = dt.groupBy("doc_id").agg(
+        F.array_sort(F.collect_set(F.when(F.col("tok").isin("spark", "sort"), F.col("tok")))).alias("d_name_matches"),
+        F.array_sort(F.collect_set(F.when(F.col("tok") == "join", F.col("tok")))).alias("g_name_matches"),
+        F.array_sort(F.collect_set(
+            F.when(F.col("tok") == "hash", F.lit("hash_v1")).when(F.col("tok") == "merge", F.lit("mergeX"))
+        )).alias("v_name_matches"),
+        F.array_sort(F.collect_set(F.when(F.col("tok").isin(VOCAB), F.col("tok")))).alias("triplet_list"),
+    )
+    out = retrieval.qa_target_filter(
+        per_doc, d_set=["spark"], g_set=["hash", "merge"], v_set=["rsX"]
+    )
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"))
+
+
+def q_paper_text_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdbm point-lookup → broadcast probe (kb_utils.py:1188-1211); ids
+    1..20 plus two absent ids come back as empty strings."""
+    docs = _t(spark, sf_dir, "documents")
+    store = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.concat(F.lit("T"), F.col("doc_id").cast("string")).alias("title"),
+        F.substring(F.col("text"), 1, 40).alias("abstract"),
+    )
+    ids = [str(i) for i in range(1, 21)] + ["999991", "999992"]
+    out = retrieval.fetch_paper_text(store, ids)
+    return out.select("doc_id", "title", "abstract")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: Rel relevance page over sf0.001 documents token postings."""
     return q_rel_relevance_page(spark, "/root/testdata/sf0.001")
@@ -508,6 +708,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_union_nations": q_distinct_union_nations,
         "market_join": q_market_join,
         "top_parts_per_brand": q_top_parts_per_brand,
+        "disease_gene_blend": q_disease_gene_blend,
+        "journal_impact_meta": q_journal_impact_meta,
+        "glof_rollup": q_glof_rollup,
+        "mesh_subgraph": q_mesh_subgraph,
+        "varsum_clean": q_varsum_clean,
+        "qa_target_filter": q_qa_target_filter,
+        "paper_text_fetch": q_paper_text_fetch,
         # rows-only (no SQL oracle possible)
         "kg_pipeline_triples": q_kg_pipeline_triples,
         "hgvsp_parse": q_hgvsp_parse,
@@ -909,6 +1116,187 @@ SELECT p_brand, p_partkey, round(p_retailprice, 2) AS price, rn FROM (
          row_number() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey ASC)::INT AS rn
   FROM part
 ) WHERE rn <= 3
+"""
+
+    sql["disease_gene_blend"] = """
+WITH db AS (
+  SELECT o_orderpriority AS disease, CAST(o_custkey % 20 AS VARCHAR) AS gene,
+         sum((o_custkey % 7)::DOUBLE) AS db
+  FROM orders WHERE o_orderkey % 3 = 0 GROUP BY 1, 2
+),
+pk AS (
+  SELECT o_orderpriority AS disease, CAST(o_custkey % 20 AS VARCHAR) AS gene,
+         sum(((o_custkey % 11) * 250)::DOUBLE) AS pk
+  FROM orders WHERE o_orderkey % 3 = 1 GROUP BY 1, 2
+),
+bo AS (
+  SELECT coalesce(db.disease, pk.disease) AS disease,
+         coalesce(db.gene, pk.gene) AS gene,
+         coalesce(db.db, 0) AS db, coalesce(pk.pk, 0) AS pk
+  FROM db FULL OUTER JOIN pk ON db.disease = pk.disease AND db.gene = pk.gene
+),
+blended AS (
+  SELECT disease, gene,
+         -- reference blend (kb_utils.py:1983-1990): binarized db, UNCAPPED pk
+         round(CASE WHEN db > 0 THEN 100.0 ELSE 0.0 END + 100.0 * pk / 10000.0, 6) AS pair_score
+  FROM bo
+)
+SELECT disease, gene, pair_score,
+       round(max(pair_score) OVER (PARTITION BY gene), 6) AS gene_score
+FROM blended
+"""
+
+    sql["journal_impact_meta"] = """
+WITH meta AS (
+  SELECT s_suppkey AS doc_id,
+         'Journal & Rev. ' || CAST(s_suppkey % 25 AS VARCHAR) AS journal
+  FROM supplier
+),
+imp AS (
+  SELECT 'journal and rev ' || CAST(n_nationkey AS VARCHAR) AS journal,
+         CAST(round(n_nationkey / 10.0, 3) AS VARCHAR) AS journal_impact
+  FROM nation
+  WHERE (40 + n_nationkey * 3) >= 70 OR n_nationkey % 4 = 0
+)
+SELECT doc_id, meta.journal, imp.journal_impact
+FROM meta LEFT JOIN imp
+  ON trim(regexp_replace(
+       regexp_replace(replace(lower(meta.journal), '&', ' and '), '[^0-9a-z]+', ' ', 'g'),
+       ' +', ' ', 'g')) = imp.journal
+"""
+
+    sql["glof_rollup"] = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({TOKS_SQL}) AS tok,
+         generate_subscripts({TOKS_SQL}, 1) AS ord
+  FROM documents
+),
+g AS (
+  SELECT DISTINCT tok AS key,
+         CASE WHEN ord % 2 = 0 THEN 'gof' ELSE 'lof' END AS direction,
+         CAST(doc_id AS VARCHAR) AS doc_id,
+         CAST(ord % 7 AS INT) AS sent_idx
+  FROM toks WHERE tok IN ('spark', 'join', 'merge', 'sort', 'hash')
+),
+per_doc AS (
+  SELECT key, direction, doc_id, count(*) AS n_sents
+  FROM g GROUP BY 1, 2, 3
+)
+SELECT key, direction, CAST(doc_id AS BIGINT) AS doc_id, n_sents,
+       row_number() OVER (
+         PARTITION BY key, direction ORDER BY n_sents DESC, doc_id ASC
+       )::INT AS rank
+FROM per_doc
+"""
+
+    sql["mesh_subgraph"] = """
+WITH pk AS (SELECT p_partkey AS k FROM part),
+-- label batches in the reference's chronological order (first label wins,
+-- kb_utils.py:2255-2262); phases hardcoded for query=63, super=2, sub=1,
+-- sibling=1, supplemental=1 over the parent(k)=k//2 heap forest
+lab(mesh, label, prio) AS (
+  VALUES ('63','query',0),
+         ('31','super-category',1), ('15','super-category',1),
+         ('126','sub-category',2), ('127','sub-category',2),
+         ('31','super-category',3),
+         ('62','sibling',4), ('63','sibling',4),
+         ('s63','supplemental',5)
+),
+resolved AS (SELECT mesh, arg_min(label, prio) AS label FROM lab GROUP BY mesh)
+SELECT r.mesh,
+       CASE WHEN r.mesh LIKE 's%' THEN 'supp ' || substr(r.mesh, 2)
+            ELSE 'node ' || r.mesh END AS display_name,
+       r.label,
+       (r.mesh LIKE 's%') AS is_supplemental
+FROM resolved r
+WHERE EXISTS (SELECT 1 FROM pk WHERE k = 63)
+  AND ((r.mesh LIKE 's%' AND EXISTS (SELECT 1 FROM pk WHERE k = TRY_CAST(substr(r.mesh, 2) AS BIGINT)))
+    OR (r.mesh NOT LIKE 's%' AND EXISTS (SELECT 1 FROM pk WHERE k = TRY_CAST(r.mesh AS BIGINT))))
+"""
+
+    sql["varsum_clean"] = """
+WITH raw AS (SELECT c_custkey AS k, (c_custkey % 500 + 1) AS pos FROM customer),
+c AS (
+  SELECT k, pos,
+    CASE WHEN k % 11 = 0 THEN '.' ELSE 'GENE' || CAST(k % 40 AS VARCHAR) END AS gene_name,
+    CASE WHEN k % 3 = 0 THEN 'homozygous' WHEN k % 3 = 1 THEN 'heterozygous' ELSE '' END AS genotype,
+    CASE WHEN k % 3 = 0 THEN '同型合子（homozygous）' WHEN k % 3 = 1 THEN '異型合子（heterozygous）' ELSE '' END AS genotype_zhtw,
+    CASE WHEN k % 13 = 0 THEN '.' ELSE 'NM_' || CAST(k % 97 AS VARCHAR) || '.2' END AS reference,
+    CASE WHEN k % 13 = 0 THEN '.'
+         WHEN k % 7 = 0 THEN 'c.*' || pos || 'del'
+         WHEN k % 7 = 1 THEN 'c.-' || pos || 'A>G'
+         WHEN k % 7 = 2 THEN 'c.' || pos || '+2T>C'
+         WHEN k % 7 = 3 THEN 'c.' || pos || '_' || (pos + 2) || 'dup'
+         ELSE 'c.' || pos || 'A>G' END AS hgvsc,
+    CASE WHEN k % 13 = 0 THEN '.'
+         WHEN k % 7 = 0 THEN '*' || pos
+         WHEN k % 7 = 1 THEN '-' || pos
+         WHEN k % 7 = 2 THEN pos || '+2'
+         WHEN k % 7 = 3 THEN pos || ', ' || (pos + 2)
+         ELSE CAST(pos AS VARCHAR) END AS cds_position,
+    CASE WHEN k % 13 = 0 THEN 'intron'
+         WHEN k % 7 = 0 THEN '3''-UTR'
+         WHEN k % 7 = 1 THEN '5''-UTR'
+         WHEN k % 7 = 2 THEN 'intron'
+         ELSE 'exon' END AS exon_intron,
+    CASE WHEN k % 6 = 0 THEN 'Pathogenic' WHEN k % 6 = 1 THEN 'Likely benign'
+         WHEN k % 6 = 2 THEN 'Uncertain significance' ELSE '.' END AS clinvar_record,
+    CASE WHEN k % 5 = 0 THEN 'missense, intron' WHEN k % 5 = 1 THEN 'stop gained'
+         WHEN k % 5 = 2 THEN '' ELSE 'synonymous' END AS consequence,
+    'ENST' || CAST(k % 50 AS VARCHAR) AS transcriptid_mane,
+    CASE WHEN k % 50 < 25 THEN 0 ELSE 1 END AS transcriptid_index,
+    CASE WHEN k % 50 < 25 THEN CAST(k % 10 AS VARCHAR) ELSE '0.5' END AS sift,
+    CASE WHEN k % 2 = 0 THEN printf('%.1f', (k % 40) / 2.0) ELSE '.' END AS cadd_phred,
+    'recorded' AS pathogenicity,
+    printf('%.3f', (k % 100) / 100.0) AS phylop100way,
+    'recorded' AS conservation,
+    CASE WHEN k % 8 = 0 THEN '.' ELSE printf('%.6f', (k % 1000) / 100000.0) END AS gnomad_freq,
+    CASE WHEN k % 9 = 0 THEN 'ClinVar, DeafnessVD, and HotspotDB'
+         WHEN k % 9 = 1 THEN 'ClinVar' ELSE '.' END AS hotspot
+  FROM raw
+)
+SELECT gene_name, genotype, genotype_zhtw, reference, hgvsc, cds_position,
+       exon_intron,
+       CASE WHEN k % 4 = 0 THEN exon_intron
+            WHEN exon_intron IN ('exon', 'intron')
+              THEN exon_intron || ' ' || CAST(k % 9 + 1 AS VARCHAR)
+            ELSE exon_intron END AS exon_or_intron_rank,
+       clinvar_record, consequence, transcriptid_mane, transcriptid_index,
+       sift, cadd_phred, pathogenicity, phylop100way, conservation,
+       gnomad_freq, hotspot
+FROM c
+"""
+
+    sql["qa_target_filter"] = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({TOKS_SQL}) AS tok FROM documents
+),
+flags AS (
+  SELECT doc_id,
+         bool_or(tok IN ('spark', 'join', 'merge', 'sort', 'hash')) AS has_t,
+         bool_or(tok = 'spark') AS has_spark,
+         bool_or(tok = 'hash') AS has_hash,
+         bool_or(tok = 'merge') AS has_merge
+  FROM toks GROUP BY doc_id
+)
+-- independent formulation of the target filter: docs with any triplet AND
+-- the disease target AND a gene hit via prefix-fallback ('hash_v1'→'hash')
+-- or the no-underscore quirk ('mergeX'[:-1]→'merge')
+SELECT CAST(doc_id AS BIGINT) AS doc_id FROM flags
+WHERE has_t AND has_spark AND (has_hash OR has_merge)
+"""
+
+    id_values = ", ".join(f"('{i}')" for i in list(range(1, 21)) + [999991, 999992])
+    sql["paper_text_fetch"] = f"""
+WITH ids(doc_id) AS (VALUES {id_values}),
+store AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         'T' || CAST(doc_id AS VARCHAR) AS title,
+         substr(text, 1, 40) AS abstract
+  FROM documents
+)
+SELECT ids.doc_id, coalesce(title, '') AS title, coalesce(abstract, '') AS abstract
+FROM ids LEFT JOIN store USING (doc_id)
 """
 
     return sql

@@ -30,6 +30,7 @@ __all__ = [
     "cosine",
     "cosine_top_k",
     "hyperplane_signature",
+    "build_ann_index",
     "ann_bucketed_top_k",
     "embedding_near_duplicates",
     "cosine_top_k_pandas",
@@ -58,6 +59,29 @@ def hyperplane_signature(vec_col: Column, dim: int, n_planes: int = 8) -> Column
     return sig
 
 
+def build_ann_index(
+    embeddings: DataFrame,
+    out_path: str,
+    n_planes: int = 8,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Materialize the LSH signature ONCE as a partition column.
+
+    At 100 TB the signature must not be recomputed per query over the full
+    table: this writes the vectors parquet-partitioned by ``_sig`` (≤2^n_planes
+    directories), so a query's ``_sig IN (probe set)`` filter becomes
+    *partition pruning* — the scan touches only the probed buckets'
+    files, never the other 95+%. Returns the reloaded, pruned-scannable
+    table."""
+    dim_row = embeddings.select(F.size(vec_col).alias("d")).first()
+    dim = int(dim_row["d"]) if dim_row else 0
+    signed = embeddings.withColumn(
+        "_sig", hyperplane_signature(F.col(vec_col), dim, n_planes)
+    )
+    signed.write.mode("overwrite").partitionBy("_sig").parquet(out_path)
+    return embeddings.sparkSession.read.parquet(out_path)
+
+
 def ann_bucketed_top_k(
     embeddings: DataFrame,
     query: list[float],
@@ -68,7 +92,12 @@ def ann_bucketed_top_k(
 ) -> DataFrame:
     """ANN: score only the query's LSH bucket (plus Hamming-1 neighbor
     buckets for recall). Approximate — the scale path; exactness is the
-    brute-force baseline's job."""
+    brute-force baseline's job.
+
+    If ``embeddings`` already carries a ``_sig`` column (a build_ann_index
+    table), it is used as-is — with a partitioned index the probe filter
+    prunes partitions and only the probed buckets are read. Computing the
+    signature inline is the no-index fallback for ad-hoc relations."""
     dim = len(query)
     sig_q = 0
     for i in range(n_planes):
@@ -76,7 +105,12 @@ def ann_bucketed_top_k(
         if sum(p * x for p, x in zip(plane, query)) > 0:
             sig_q |= 1 << i
     probe = [sig_q] + [sig_q ^ (1 << i) for i in range(n_planes)]  # multi-probe
-    bucketed = embeddings.withColumn("_sig", hyperplane_signature(F.col(vec_col), dim, n_planes))
+    if "_sig" in embeddings.columns:
+        bucketed = embeddings
+    else:
+        bucketed = embeddings.withColumn(
+            "_sig", hyperplane_signature(F.col(vec_col), dim, n_planes)
+        )
     return (
         bucketed.filter(F.col("_sig").isin(probe))
         .select(F.col(id_col), F.round(cosine(F.col(vec_col), query), 6).alias("cos_sim"))

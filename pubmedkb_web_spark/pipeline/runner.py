@@ -21,7 +21,6 @@ from dataclasses import dataclass, field
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from .. import fixtures
 from . import canonicalize, extractors, materialize, mentions
@@ -71,13 +70,31 @@ def _fingerprint(name: str, config: dict, upstream: list[str]) -> str:
     return hashlib.sha256(payload.encode()).hexdigest()[:16]
 
 
-def _partition_metrics(df: DataFrame) -> list[dict]:
-    rows = (
-        df.groupBy(F.spark_partition_id().alias("pid"))
-        .agg(F.count(F.lit(1)).alias("rows"))
-        .collect()
-    )
-    return [{"partition": int(r["pid"]), "rows": int(r["rows"])} for r in rows]
+def _partition_metrics(path: str) -> list[dict]:
+    """Per-output-partition row counts read from the committed parquet
+    FOOTERS (pyarrow metadata only — no Spark job, no data scan, ~ms).
+
+    Round 1 computed this with a groupBy(spark_partition_id()) pass, which
+    added a fixed extra job per stage — a major share of the ~25 s serial
+    stage-commit floor that capped end-to-end scaling efficiency. The
+    committed files ARE the stage's partitions, so footer counts are the
+    honest per-partition lineage record."""
+    import pyarrow.parquet as pq
+
+    files = []
+    for root, _dirs, fnames in os.walk(path):
+        for fn in fnames:
+            if fn.endswith(".parquet"):
+                files.append(os.path.join(root, fn))
+    files.sort()
+    return [
+        {
+            "partition": i,
+            "rows": int(pq.ParquetFile(f).metadata.num_rows),
+            "file": os.path.relpath(f, path),
+        }
+        for i, f in enumerate(files)
+    ]
 
 
 @dataclass
@@ -137,7 +154,7 @@ class CheckpointedPipeline:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(path)
         out = self.spark.read.parquet(path)
-        parts = _partition_metrics(out)
+        parts = _partition_metrics(path)
         row_count = sum(p["rows"] for p in parts)
         with open(marker, "w") as f:
             json.dump(
@@ -209,13 +226,6 @@ def run_kg_pipeline(
         gm = mentions.build_glof_mentions(sentences, glof_dict, glof_max_tokens)
         merged = mentions.subtract_glof_overlaps(mention_df, gm)
         return mentions.glof_evidence(merged)
-
-    glof = pipe.stage(
-        "glof",
-        build_glof,
-        upstream=["sentences", "mentions"],
-        config={"terms": sorted(t for t, _ in fixtures.GLOF_TERMS)},
-    )
     canon = pipe.stage(
         "canonical_map", lambda: canonicalize.canonical_map(entity_dict), config={"seed": seed}
     )
@@ -227,32 +237,54 @@ def run_kg_pipeline(
         upstream=["annotations", "canonical_map"],
         partition_by=["annotator"],
     )
-    postings = pipe.stage(
-        "entity_postings",
-        lambda: materialize.build_entity_postings(annotations).repartition(
-            spark.sparkContext.defaultParallelism, "type", "key"
-        ),
-        upstream=["annotations"],
-    )
+
+    # Independent tail stages run CONCURRENTLY from driver threads: Spark
+    # schedules their jobs side by side, overlapping each stage's commit
+    # (write + footer metrics) with the others' compute instead of paying
+    # the serial per-stage floor five times. Dependencies are already
+    # materialized (annotations, triples, sentences, mentions, source), so
+    # each submission only reads completed results.
+    from concurrent.futures import ThreadPoolExecutor
+
     entity_types = entity_dict.select("id", "type").distinct()
-    pair_stats = pipe.stage(
-        "pair_stats",
-        lambda: materialize.build_pair_stats(triples),
-        upstream=["triples"],
-    )
-    chem_disease = pipe.stage(
-        "chem_disease",
-        lambda: materialize.build_chem_disease(triples, entity_types),
-        upstream=["triples"],
-    )
-    cgd_paths = pipe.stage(
-        "cgd_paths",
-        lambda: materialize.build_cgd_paths(triples, entity_types),
-        upstream=["triples"],
-    )
-    meta = pipe.stage(
-        "meta", lambda: fixtures.meta_table(spark, source, seed), upstream=["source"]
-    )
+    with ThreadPoolExecutor(max_workers=6) as ex:
+        f_postings = ex.submit(
+            pipe.stage,
+            "entity_postings",
+            lambda: materialize.build_entity_postings(annotations).repartition(
+                spark.sparkContext.defaultParallelism, "type", "key"
+            ),
+            upstream=["annotations"],
+        )
+        f_pair = ex.submit(
+            pipe.stage, "pair_stats",
+            lambda: materialize.build_pair_stats(triples), upstream=["triples"],
+        )
+        f_chem = ex.submit(
+            pipe.stage, "chem_disease",
+            lambda: materialize.build_chem_disease(triples, entity_types),
+            upstream=["triples"],
+        )
+        f_cgd = ex.submit(
+            pipe.stage, "cgd_paths",
+            lambda: materialize.build_cgd_paths(triples, entity_types),
+            upstream=["triples"],
+        )
+        f_meta = ex.submit(
+            pipe.stage, "meta",
+            lambda: fixtures.meta_table(spark, source, seed), upstream=["source"],
+        )
+        f_glof = ex.submit(
+            pipe.stage, "glof", build_glof,
+            upstream=["sentences", "mentions"],
+            config={"terms": sorted(t for t, _ in fixtures.GLOF_TERMS)},
+        )
+        glof = f_glof.result()
+        postings = f_postings.result()
+        pair_stats = f_pair.result()
+        chem_disease = f_chem.result()
+        cgd_paths = f_cgd.result()
+        meta = f_meta.result()
     return {
         "source": source,
         "sentences": sentences,

@@ -103,6 +103,31 @@ def test_ann_bucket_recall_vs_exact(spark):
     assert 7 in approx  # the query vector itself must be found
 
 
+def test_ann_persisted_index_prunes_partitions(spark, tmp_path):
+    import io
+    import random
+    from contextlib import redirect_stdout
+
+    rng = random.Random(5)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(200)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = rows[7][1]
+    idx = similarity.build_ann_index(emb, str(tmp_path / "ann"), n_planes=6)
+    inline = {
+        (r["vec_id"], r["cos_sim"])
+        for r in similarity.ann_bucketed_top_k(emb, q, 5, n_planes=6).collect()
+    }
+    indexed_df = similarity.ann_bucketed_top_k(idx, q, 5, n_planes=6)
+    assert {(r["vec_id"], r["cos_sim"]) for r in indexed_df.collect()} == inline
+    # the probe filter must reach the scan as PARTITION pruning, i.e. the
+    # signature is never recomputed and unprobed buckets are never read
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        indexed_df.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "_sig" in plan.split("PartitionFilters", 1)[1]
+
+
 def test_embedding_near_duplicates(spark):
     rows = [
         (1, [1.0, 0.0]), (2, [0.999, 0.01]), (3, [0.0, 1.0]),
