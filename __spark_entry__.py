@@ -654,6 +654,17 @@ def q_qa_target_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("doc_id").cast("long").alias("doc_id"))
 
 
+def q_embed_text_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic text→unit-vector embedding (F14 contract): signed
+    feature hashing, L2-normalized; long format for the value gate."""
+    docs = _t(spark, sf_dir, "documents")
+    emb = similarity.embed_text(docs, dim=16, portable=True)
+    return emb.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.posexplode("embedding").alias("bucket", "val"),
+    ).select("doc_id", "bucket", F.round("val", 6).alias("val"))
+
+
 def q_paper_text_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """gdbm point-lookup → broadcast probe (kb_utils.py:1188-1211); ids
     1..20 plus two absent ids come back as empty strings."""
@@ -715,6 +726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "varsum_clean": q_varsum_clean,
         "qa_target_filter": q_qa_target_filter,
         "paper_text_fetch": q_paper_text_fetch,
+        "embed_text_docs": q_embed_text_docs,
         # rows-only (no SQL oracle possible)
         "kg_pipeline_triples": q_kg_pipeline_triples,
         "hgvsp_parse": q_hgvsp_parse,
@@ -1284,6 +1296,34 @@ flags AS (
 -- or the no-underscore quirk ('mergeX'[:-1]→'merge')
 SELECT CAST(doc_id AS BIGINT) AS doc_id FROM flags
 WHERE has_t AND has_spark AND (has_hash OR has_merge)
+"""
+
+    sql["embed_text_docs"] = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\W+')) AS tok
+  FROM documents
+),
+t2 AS (SELECT doc_id, tok FROM toks WHERE len(tok) > 0),
+h AS (
+  SELECT doc_id,
+         ({MD5_SQL.format(x='tok')} % 16)::INT AS bucket,
+         CASE WHEN {MD5_SQL.format(x='tok')} % 32 >= 16 THEN -1 ELSE 1 END AS sign
+  FROM t2
+),
+pb AS (SELECT doc_id, bucket, sum(sign)::DOUBLE AS v FROM h GROUP BY 1, 2),
+grid AS (
+  SELECT d.doc_id, b.bucket
+  FROM (SELECT DISTINCT doc_id FROM pb) d
+  CROSS JOIN (SELECT unnest(range(16))::INT AS bucket) b
+),
+dense AS (
+  SELECT grid.doc_id, grid.bucket, coalesce(pb.v, 0) AS v
+  FROM grid LEFT JOIN pb ON grid.doc_id = pb.doc_id AND grid.bucket = pb.bucket
+),
+nrm AS (SELECT doc_id, sqrt(sum(v * v)) AS n FROM dense GROUP BY 1)
+SELECT dense.doc_id, dense.bucket,
+       round(v / CASE WHEN n > 0 THEN n ELSE 1 END, 6) AS val
+FROM dense JOIN nrm ON dense.doc_id = nrm.doc_id
 """
 
     id_values = ", ".join(f"('{i}')" for i in list(range(1, 21)) + [999991, 999992])

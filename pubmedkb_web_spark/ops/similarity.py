@@ -23,7 +23,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..functions.hashing import MERSENNE31, affine_params
+from ..functions.hashing import MERSENNE31, affine_params, md5_int60
 from ..query.retrieval import cosine, cosine_top_k  # re-export baseline
 
 __all__ = [
@@ -34,6 +34,8 @@ __all__ = [
     "ann_bucketed_top_k",
     "embedding_near_duplicates",
     "cosine_top_k_pandas",
+    "embed_text",
+    "embed_text_py",
 ]
 
 
@@ -155,6 +157,67 @@ def embedding_near_duplicates(
         .filter(F.col("cos_sim") >= threshold)
         .distinct()
     )
+
+
+def embed_text(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 16,
+    portable: bool = True,
+) -> DataFrame:
+    """Deterministic text → unit-vector embedding (signed feature hashing).
+
+    The reference fills the text→vector contract with a dense model
+    (retriv DenseRetriever, kb_utils.py:2433-2438); the engine's
+    deterministic stand-in keeps the exact contract — fixed dim,
+    L2-normalized, reproducible across runs and partitionings — so every
+    downstream consumer (ANN index, cosine top-k, embedding near-dup) is
+    testable end-to-end without a model in the container.
+
+    Shape: explode tokens → signed bucket counts (one shuffle with map-side
+    combine) → dense-vector assembly → L2 normalize; all codegen.
+    portable=True hashes with the md5-int60 family (bit-identical in the
+    DuckDB/Python oracles); portable=False switches to lock-free xxhash64
+    for the 100 TB hot path (md5 funnels through a synchronized JVM
+    provider and anti-scales past ~8 threads — round-1 measurement).
+    """
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\W+"), lambda t: F.length(t) > 0
+    )
+    base = docs.select(F.col(id_col).alias("doc_id"), F.explode(toks).alias("tok"))
+    h = md5_int60(F.col("tok")) if portable else F.xxhash64(F.col("tok"))
+    bucket = F.pmod(h, F.lit(dim)).cast("int")
+    sign = F.when(F.pmod(h, F.lit(2 * dim)) >= dim, F.lit(-1)).otherwise(F.lit(1))
+    per_bucket = base.groupBy("doc_id", bucket.alias("bucket")).agg(
+        F.sum(sign).alias("v")
+    )
+    assembled = per_bucket.groupBy("doc_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("bucket", "v"))).alias("_m")
+    )
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.coalesce(F.element_at(F.col("_m"), i), F.lit(0)).cast("double"),
+    )
+    norm = F.sqrt(F.aggregate(dense, F.lit(0.0), lambda acc, v: acc + v * v))
+    unit = F.transform(dense, lambda v: v / F.when(norm > 0, norm).otherwise(F.lit(1.0)))
+    return assembled.select("doc_id", unit.alias("embedding"))
+
+
+def embed_text_py(text: str, dim: int = 16) -> list[float]:
+    """Pure-Python mirror of :func:`embed_text` (portable mode) for tests."""
+    import re
+
+    from ..functions.hashing import md5_int60_py
+
+    vec = [0.0] * dim
+    for tok in re.split(r"\W+", text.lower()):
+        if not tok:
+            continue
+        h = md5_int60_py(tok)
+        vec[h % dim] += -1.0 if h % (2 * dim) >= dim else 1.0
+    n = math.sqrt(sum(v * v for v in vec))
+    return [v / n for v in vec] if n > 0 else vec
 
 
 def cosine_top_k_pandas(

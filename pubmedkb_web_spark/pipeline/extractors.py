@@ -161,7 +161,11 @@ def extract_ore(pairs: DataFrame) -> DataFrame:
         },
         F.lit(1.5),
     )
-    found = F.filter(preds, lambda p: F.array_contains(F.col("_btoks"), p))
+    # array_intersect, NOT a filter() higher-order function: HOF lambdas
+    # evaluate interpreted and anti-scale with executor threads (round-1
+    # SCALING.json measurement); array_intersect is a codegen expression
+    # with identical semantics here (preds are distinct, order preserved)
+    found = F.array_intersect(preds, F.col("_btoks"))
     openie = (
         with_between.withColumn("_found", found)
         .filter((F.size("_found") == 1) & (F.size("_btoks") <= 5))
