@@ -54,6 +54,15 @@ def main() -> None:
         "fingerprint_docs",
         "exact_dedup_docs",
         "mesh_bfs",
+        # round-2 operators
+        "disease_gene_blend",
+        "glof_rollup",
+        "varsum_clean",
+        "qa_target_filter",
+        "mesh_subgraph",
+        "embed_text_docs",
+        "journal_impact_meta",
+        "paper_text_fetch",
     ]
     qs = E.queries()
     times: dict[str, float] = {}

@@ -4,6 +4,8 @@ from __future__ import annotations
 
 import math
 
+from pyspark.sql import functions as F
+
 from pubmedkb_web_spark.query import retrieval as R
 
 
@@ -89,6 +91,36 @@ def test_fetch_paper_text(spark):
     out = {r["doc_id"]: (r["title"], r["abstract"])
            for r in R.fetch_paper_text(store, ["p1", "p9"]).collect()}
     assert out == {"p1": ("T1", "A1"), "p9": ("", "")}
+
+
+def test_qa_chain_end_to_end(spark):
+    """Full /query_pubmed_qa shape: ranked candidates → target filter →
+    early-stop quotas → paper-text fetch (kb_utils.py:2442-2490 + 1188-1211)."""
+    from pubmedkb_web_spark.query import kbqueries as K
+
+    cands = spark.createDataFrame(
+        [
+            (r, f"p{r}", ["mesh:d1"] if r % 2 else [], ["g1"], [], ["t"] * (r % 3 + 1))
+            for r in range(1, 41)
+        ],
+        "rank int, doc_id string, d_name_matches array<string>, "
+        "g_name_matches array<string>, v_name_matches array<string>, "
+        "triplet_list array<string>",
+    )
+    filtered = R.qa_target_filter(cands, d_set=["mesh:d1"], g_set=["g1"])
+    n_triplets = filtered.withColumn("n_triplets", F.size("triplet_list"))
+    stopped = K.early_stop_quota(n_triplets, min_docs=5, min_triplets=8)
+    kept = stopped.collect()
+    assert 0 < len(kept) < 20  # quota cuts the ranked stream early
+    store = spark.createDataFrame(
+        [(f"p{r}", f"T{r}", f"A{r}") for r in range(1, 10)],
+        "doc_id string, title string, abstract string",
+    )
+    texts = R.fetch_paper_text(store, stopped.select("doc_id"))
+    rows = {r["doc_id"]: r["title"] for r in texts.collect()}
+    assert len(rows) == len(kept)
+    for r in kept:
+        assert r["doc_id"] in rows
 
 
 def test_retrieval_chain(spark):

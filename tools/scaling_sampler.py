@@ -36,8 +36,9 @@ t0 = time.time()
 tables = runner.run_kg_pipeline(spark, out, n_docs=n_docs, resume=False)
 n = tables["triples"].count()
 dt = time.time() - t0
+stages = {name: r.seconds for name, r in tables["_pipeline"].results.items()}
 print(json.dumps({"cores": int(cores), "n_docs": n_docs, "sec": round(dt, 1),
-                  "triples": n, "tps": round(n / dt, 1)}))
+                  "triples": n, "tps": round(n / dt, 1), "stages": stages}))
 shutil.rmtree(out, ignore_errors=True)
 spark.stop()
 '''
