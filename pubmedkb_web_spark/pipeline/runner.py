@@ -247,7 +247,8 @@ def run_kg_pipeline(
     from concurrent.futures import ThreadPoolExecutor
 
     entity_types = entity_dict.select("id", "type").distinct()
-    with ThreadPoolExecutor(max_workers=6) as ex:
+    tail_workers = int(os.environ.get("SPARK_GRAFT_TAIL_WORKERS", "6"))
+    with ThreadPoolExecutor(max_workers=tail_workers) as ex:
         f_postings = ex.submit(
             pipe.stage,
             "entity_postings",
