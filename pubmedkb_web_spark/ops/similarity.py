@@ -192,8 +192,24 @@ def embed_text(
     per_bucket = base.groupBy("doc_id", bucket.alias("bucket")).agg(
         F.sum(sign).alias("v")
     )
-    assembled = per_bucket.groupBy("doc_id").agg(
+    nonzero = per_bucket.groupBy("doc_id").agg(
         F.map_from_entries(F.collect_list(F.struct("bucket", "v"))).alias("_m")
+    )
+    # zero-token documents get a zero vector, not a silent drop: downstream
+    # joins must keep every input doc (round-2 VERDICT contract hole) —
+    # left join back to the full id set, missing map → empty map → 0s
+    assembled = (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(nonzero, "doc_id", "left")
+        .withColumn(
+            "_m",
+            F.coalesce(
+                F.col("_m"),
+                F.map_from_arrays(
+                    F.array().cast("array<int>"), F.array().cast("array<bigint>")
+                ),
+            ),
+        )
     )
     dense = F.transform(
         F.sequence(F.lit(0), F.lit(dim - 1)),

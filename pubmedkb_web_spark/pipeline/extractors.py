@@ -306,20 +306,12 @@ def extract_odds_ratio(pairs: DataFrame, contingency: DataFrame) -> DataFrame:
     )
 
 
-def extract_all(
+def extract_all_unioned(
     mentions: DataFrame, sentences: DataFrame
 ) -> DataFrame:
-    """Run all extractors; returns the annotation superset table with the
-    pair mention attributes kept for triple normalization.
-
-    The pair relation feeds four union branches and is deliberately NOT
-    cached: the rows are wide (each pair carries its sentence text), and
-    materializing them measured 62 s where the four recomputed joins cost
-    ~2 s each (mentions/sentences are already checkpointed by the runner,
-    so each branch re-joins cheap narrow inputs). Caching here is the
-    classic wide-diamond trap: it trades four cheap shuffles for one very
-    expensive block-store write.
-    """
+    """Reference formulation: four branch extractors unioned. Kept as the
+    semantic spec for :func:`extract_all` (the fused single-pass plan) —
+    the parity test asserts both produce identical row multisets."""
     pairs = mention_pairs(mentions, sentences)
     cont = pair_contingency(mentions, sentences)
     anns = (
@@ -329,6 +321,168 @@ def extract_all(
         .unionByName(extract_odds_ratio(pairs, cont))
     )
     return anns
+
+
+def extract_all(
+    mentions: DataFrame, sentences: DataFrame
+) -> DataFrame:
+    """Run all four extractors in ONE pass over the pair relation.
+
+    Round 2 unioned four branches, each recomputing the (self-join +
+    sentence join) pair relation — 4× the shuffle volume, with every pair
+    row carrying its full sentence text through every branch. That write/
+    shuffle volume was the annotations stage's measured anti-scaler at 32
+    threads (SCALING.json round 2). The fused plan:
+
+    1. build the pair relation once, compute the between-text immediately
+       and DROP the sentence string (the widest column) before anything
+       shuffles again;
+    2. left-join the corpus contingency table once (the odds_ratio branch
+       needs it; AQE skew-join splits the hot-name keys);
+    3. emit an array of up to five per-annotator candidate structs per
+       pair and explode — one Generate, no HOF lambda (interpreted HOF
+       eval anti-scales with threads, round-1 measurement), nulls dropped
+       by a codegen filter.
+
+    Output rows are identical to :func:`extract_all_unioned` (column for
+    column, ann_id for ann_id) — asserted by test_extractors parity.
+    """
+    pairs = mention_pairs(mentions, sentences)
+    thin = (
+        pairs.withColumn("_between", _between_text())
+        .drop("sentence")
+        .withColumn("_btoks", F.split(F.col("_between"), " "))
+    )
+    cont = pair_contingency(mentions, sentences)
+    keyed = thin.withColumn(
+        "n1", F.least(F.lower("h_name"), F.lower("t_name"))
+    ).withColumn("n2", F.greatest(F.lower("h_name"), F.lower("t_name")))
+    joined = keyed.join(cont, ["n1", "n2"], "left")
+
+    def ann_struct(annotator: str, payload: dict, score: F.Column) -> F.Column:
+        cols = _payload_nulls()
+        cols.update(payload)
+        return F.struct(
+            F.lit(annotator).alias("annotator"),
+            *[c.alias(n) for n, c in cols.items()],
+            score.cast("double").alias("score"),
+        )
+
+    # --- spacy_ore / openie_ore conditions (mirror extract_ore) ---
+    preds = F.array(*[F.lit(p) for p in PREDICATES])
+    spacy_cond = F.array_contains(preds, F.col("_between"))
+    found = F.array_intersect(preds, F.col("_btoks"))
+    openie_cond = (F.size(found) == 1) & (F.size(F.col("_btoks")) <= 5)
+
+    # --- rbert_cre condition + deterministic label/confidence (extract_cre) ---
+    vt = F.array(*[F.lit(t) for t in VARIANT_TYPES])
+    cre_cond = (
+        F.array_contains(vt, F.col("h_type")) & (F.col("t_type") == "Disease")
+    ) | (F.array_contains(vt, F.col("t_type")) & (F.col("h_type") == "Disease"))
+    h = F.xxhash64(
+        key_of(F.col("doc_id"), F.col("sent_idx"), F.col("h_off"), F.col("t_off"), F.lit("cre"))
+    )
+    label = F.element_at(
+        F.array(*[F.lit(x) for x in CRE_LABELS]), (F.pmod(h, F.lit(3)) + 1).cast("int")
+    )
+    conf_tenths = 500 + F.pmod(h, F.lit(500))
+    confidence = F.concat(
+        (conf_tenths / 10).cast("decimal(4,1)").cast("string"), F.lit("%")
+    )
+
+    # --- odds_ratio condition (joined contingency present, a ≥ 1) ---
+    or_cond = F.col("a").isNotNull() & (F.col("a") >= 1)
+
+    cands = F.array(
+        ann_struct("co_occurrence", {}, F.lit(1.0)),
+        F.when(
+            spacy_cond,
+            ann_struct(
+                "spacy_ore",
+                {
+                    "subject": F.col("h_name"),
+                    "predicate": F.col("_between"),
+                    "object": F.col("t_name"),
+                },
+                F.lit(1.5),
+            ),
+        ),
+        F.when(
+            openie_cond,
+            ann_struct(
+                "openie_ore",
+                {
+                    "subject": F.col("h_name"),
+                    "predicate": F.element_at(found, 1),
+                    "object": F.col("t_name"),
+                },
+                F.lit(1.5),
+            ),
+        ),
+        F.when(
+            cre_cond,
+            ann_struct(
+                "rbert_cre",
+                {"relation": label, "confidence": confidence},
+                (conf_tenths / 1000.0) * 3.0,
+            ),
+        ),
+        F.when(
+            or_cond,
+            ann_struct(
+                "odds_ratio",
+                {
+                    "or_value": F.col("odds_ratio").cast("string"),
+                    "ci": F.concat_ws(
+                        ", ", F.col("ci_low").cast("string"), F.col("ci_high").cast("string")
+                    ),
+                    "p_value": F.col("p").cast("string"),
+                },
+                F.lit(2.0),
+            ),
+        ),
+    )
+
+    exploded = joined.select(
+        "doc_id",
+        F.col("sent_idx").cast("int").alias("sent_idx"),
+        F.array(F.col("h_idx")).alias("head"),
+        F.array(F.col("t_idx")).alias("tail"),
+        "content_sha256",
+        "h_name",
+        "h_type",
+        "h_ids",
+        "t_name",
+        "t_type",
+        "t_ids",
+        F.explode(cands).alias("_a"),
+    ).filter(F.col("_a").isNotNull())
+
+    out = exploded.select(
+        "doc_id",
+        "sent_idx",
+        "head",
+        "tail",
+        F.col("_a.annotator").alias("annotator"),
+        *[F.col(f"_a.{f}").alias(f) for f in _PAYLOAD_FIELDS],
+        F.col("_a.score").alias("score"),
+        "content_sha256",
+        "h_name",
+        "h_type",
+        "h_ids",
+        "t_name",
+        "t_type",
+        "t_ids",
+    )
+    ann_id = fast_id(
+        F.col("doc_id"),
+        F.col("sent_idx"),
+        F.col("annotator"),
+        F.col("head")[0],
+        F.col("tail")[0],
+        F.coalesce(F.col("predicate"), F.lit("")),
+    )
+    return out.withColumn("ann_id", ann_id)
 
 
 def to_triples(annotations_wide: DataFrame) -> DataFrame:

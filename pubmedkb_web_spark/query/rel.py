@@ -71,32 +71,44 @@ def ranked_slice(df: DataFrame, order: list, page_start: int, page_end: int) -> 
     if page_end <= DEEP_PAGE_THRESHOLD:
         limited = df.orderBy(*order).limit(page_end)
         ranked = limited.withColumn("rank", F.row_number().over(W.orderBy(*order)))
-    else:
-        spark = df.sparkSession
-        n = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
-        ranged = (
-            df.repartitionByRange(n, *order)
-            .withColumn("_pid", F.spark_partition_id())
-            .persist()
-        )
+        return ranked.filter((F.col("rank") > page_start) & (F.col("rank") <= page_end))
+
+    spark = df.sparkSession
+    n = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    ranged = (
+        df.repartitionByRange(n, *order)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    try:
         counts = {
             int(r["_pid"]): int(r["n"])
             for r in ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
         }
-        offsets, acc = {}, 0
+        offsets, acc = [], 0
         for pid in sorted(counts):
-            offsets[pid] = acc
+            offsets.append((pid, acc))
             acc += counts[pid]
-        mapping = F.create_map(
-            *[F.lit(x) for pid in sorted(offsets) for x in (pid, offsets[pid])]
-        )
+        # small broadcast join, NOT a literal create_map: a 10k-partition
+        # relation would otherwise embed 10k map entries into every task's
+        # plan (round-2 ADVICE)
+        off_df = spark.createDataFrame(offsets, "_pid int, _off long")
         w = W.partitionBy("_pid").orderBy(*order)
         ranked = (
             ranged.withColumn("_rn", F.row_number().over(w))
-            .withColumn("rank", (F.col("_rn") + mapping[F.col("_pid")]).cast("int"))
-            .drop("_pid", "_rn")
+            .join(F.broadcast(off_df), "_pid")
+            .withColumn("rank", (F.col("_rn") + F.col("_off")).cast("int"))
+            .drop("_pid", "_rn", "_off")
         )
-    return ranked.filter((F.col("rank") > page_start) & (F.col("rank") <= page_end))
+        page = ranked.filter((F.col("rank") > page_start) & (F.col("rank") <= page_end))
+        # a deep page is still ≤ one page of rows: materialize it while the
+        # cache is hot, then release the cached partitions — repeated
+        # deep-page queries in a long session must not accumulate storage
+        # (round-2 ADVICE leak)
+        rows = page.collect()
+        return spark.createDataFrame(rows, page.schema)
+    finally:
+        ranged.unpersist()
 
 
 def sorted_page(

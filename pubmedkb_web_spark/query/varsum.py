@@ -342,9 +342,15 @@ def clean_varsum_table(df: DataFrame) -> DataFrame:
         """Pick the MANE transcript's entry from a ';'-joined score list
         (VarSum_germline.py:186-202)."""
         raw = _dot(col_name)
+        parts = F.split(raw, ";")
+        # bound the index against the list length: a short score list gets
+        # the '.' sentinel (the engine's contract everywhere else) instead
+        # of a NULL with three-valued semantics in the pathogenicity flag
         return F.when(
-            (transcriptid_index >= 0) & (raw != "."),
-            F.element_at(F.split(raw, ";"), transcriptid_index + 1),
+            (transcriptid_index >= 0)
+            & (raw != ".")
+            & (F.size(parts) > transcriptid_index),
+            F.element_at(parts, transcriptid_index + 1),
         ).otherwise(F.lit("."))
 
     sift = indexed("ps_sift")

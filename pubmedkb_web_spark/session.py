@@ -50,6 +50,14 @@ def build_session(
         .config("spark.driver.memory", driver_memory)
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # zstd ≈ halves string-heavy parquet bytes vs snappy at similar CPU:
+        # the checkpointed stages (annotations especially) are write-volume
+        # bound on shared disks, and fewer bytes also means fewer bytes to
+        # scan on resume. Override via SPARK_GRAFT_PARQUET_CODEC.
+        .config(
+            "spark.sql.parquet.compression.codec",
+            os.environ.get("SPARK_GRAFT_PARQUET_CODEC", "zstd"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

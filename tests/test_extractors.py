@@ -84,6 +84,20 @@ def test_ann_ids_unique_within_doc(spark):
     assert dup == 0
 
 
+def test_extract_all_fused_matches_union(spark):
+    """The fused single-pass plan must emit EXACTLY the four branches'
+    union — column for column, ann_id for ann_id (the round-3 annotations
+    rewrite is a physical-plan change only)."""
+    sents, ments = _build(spark, 60)
+    fused = X.extract_all(ments, sents)
+    union = X.extract_all_unioned(ments, sents)
+    cols = sorted(fused.columns)
+    assert sorted(union.columns) == cols
+    a = sorted(map(tuple, fused.select(*cols).collect()))
+    b = sorted(map(tuple, union.select(*cols).collect()))
+    assert a == b
+
+
 def test_extractors_deterministic(spark):
     sents, ments = _build(spark, 30)
     a = sorted(map(tuple, X.to_triples(X.extract_all(ments, sents)).collect()))

@@ -107,15 +107,14 @@ def test_embed_text_matches_python_oracle(spark):
     rows = [(1, "Spark joins merge fast"), (2, "hash hash hash"), (3, "")]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {r["doc_id"]: r["embedding"] for r in similarity.embed_text(df, dim=8).collect()}
+    assert set(got) == {1, 2, 3}  # zero-token docs emit a zero vector, not a drop
     for doc_id, text in rows:
-        if doc_id not in got:   # empty text → no tokens → no row
-            assert text == ""
-            continue
         expect = similarity.embed_text_py(text, dim=8)
         assert [round(v, 9) for v in got[doc_id]] == [round(v, 9) for v in expect]
-    # unit norm
-    for v in got.values():
-        assert abs(sum(x * x for x in v) - 1.0) < 1e-9
+    # unit norm for non-empty docs, all-zero for the empty one
+    for doc_id, v in got.items():
+        norm2 = sum(x * x for x in v)
+        assert abs(norm2 - (0.0 if doc_id == 3 else 1.0)) < 1e-9
 
 
 def test_ann_persisted_index_prunes_partitions(spark, tmp_path):
