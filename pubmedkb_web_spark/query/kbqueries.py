@@ -93,17 +93,60 @@ def disease_to_gene_scores(
 
 # ------------------------------------------------------------ GVD pivot (A7)
 
-def gvd_pivot(pair_stats: DataFrame, annotators: list[str]) -> DataFrame:
+def gvd_pivot(
+    pair_stats: DataFrame,
+    annotators: list[str],
+    gd_scores: DataFrame | None = None,
+    top_k: int | None = None,
+) -> DataFrame:
     """(subj, obj) × annotator support matrix — the GVD score-table shape
-    (kb_utils.py:1888-1903): one fixed-column pivot, zero-filled."""
+    (kb_utils.py:1888-1903): one fixed-column pivot, zero-filled.
+
+    Carries the reference's two blended display columns
+    (server.py:1696-1702):
+
+    - ``sort_score`` — the build-time blend the reference stores in its GVD
+      tables and uses for display order and top-k cuts. The reference's
+      build pipeline is not in the repo, so the blend is defined here as
+      total annotator evidence (Σ supports) — deterministic and monotone in
+      every annotator column, documented as the engine's build rule.
+    - ``new_score`` — the GDScore lookup rendered via ``get_string_score``:
+      ``f"{score/100:.2f}"`` (server.py:1767-1815); NULL when the pair has
+      no GDScore row (the render layer's '-').
+
+    ``top_k`` applies the reference's ordered build-time truncation: keep
+    the top-k objects per subject by (sort_score desc, obj asc) — the loop
+    cut at server.py:1786-1815 (``if top_k and i >= top_k: break`` over
+    data already ordered by sort_score).
+    """
     out = (
         pair_stats.groupBy("subj", "obj")
         .pivot("annotator", annotators)
         .agg(F.first("support"))
     )
-    return out.select(
+    filled = out.select(
         "subj", "obj", *[F.coalesce(F.col(a), F.lit(0)).alias(a) for a in annotators]
     )
+    sort_score: Column = F.lit(0).cast("long")
+    for a in annotators:
+        sort_score = sort_score + F.col(a)
+    filled = filled.withColumn("sort_score", sort_score)
+    if gd_scores is not None:
+        gd = gd_scores.select(
+            "subj", "obj",
+            F.format_string("%.2f", F.col("score").cast("double") / 100.0).alias("new_score"),
+        )
+        filled = filled.join(F.broadcast(gd), ["subj", "obj"], "left")
+    else:
+        filled = filled.withColumn("new_score", F.lit(None).cast("string"))
+    if top_k is not None:
+        w = W.partitionBy("subj").orderBy(F.col("sort_score").desc(), F.col("obj").asc())
+        filled = (
+            filled.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= top_k)
+            .drop("_rk")
+        )
+    return filled
 
 
 # ----------------------------------------------------------------- GLOF
@@ -169,8 +212,11 @@ def journal_impact_map(journal_impact: DataFrame) -> DataFrame:
     (journal, articles, match_ratio, match_substring, match_journal,
     match_impact); ``journal`` is the already-normalized name."""
     ratio = F.regexp_extract(F.col("match_ratio"), r"^(\d+)", 1).try_cast("int")
+    # exact == 'True', not case-insensitive: the reference's load_data
+    # compares the raw csv string (kb_utils.py:1812-1815), so 'TRUE'/'true'
+    # rows are rejected there and must be rejected here too
     accepted = journal_impact.filter(
-        (ratio >= 70) | (F.lower(F.col("match_substring").cast("string")) == "true")
+        (ratio >= 70) | (F.col("match_substring").cast("string") == "True")
     )
     return accepted.select("journal", F.col("match_impact").alias("journal_impact"))
 
@@ -180,9 +226,28 @@ def enrich_meta_with_impact(meta: DataFrame, impact_map: DataFrame) -> DataFrame
     kb_utils.py:1826-1830). The impact table is small (one row per journal)
     → broadcast; unmatched journals get null impact (the reference returns
     '' which downstream float() treats as 0 — sorted_page does the same via
-    try_cast+coalesce)."""
+    try_cast+coalesce).
+
+    The map side is deduplicated per journal before the join: the
+    reference's dict build collapses duplicate journal rows (last wins,
+    kb_utils.py:1812-1815); a relational input carries no file order, so
+    when a ``line_no`` column is present the true last row wins, otherwise
+    the max impact string is kept (deterministic) — either way one row per
+    journal, so meta rows can never fan out."""
+    one_per_journal = impact_map
+    if "line_no" in impact_map.columns:
+        w = W.partitionBy("journal").orderBy(F.col("line_no").desc())
+        one_per_journal = (
+            impact_map.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn", "line_no")
+        )
+    else:
+        one_per_journal = impact_map.groupBy("journal").agg(
+            F.max("journal_impact").alias("journal_impact")
+        )
     jnorm = normalize_journal(F.col("journal"))
-    right = F.broadcast(impact_map.withColumnRenamed("journal", "_jnorm"))
+    right = F.broadcast(one_per_journal.withColumnRenamed("journal", "_jnorm"))
     return (
         meta.withColumn("_jnorm", jnorm)
         .join(right, "_jnorm", "left")
@@ -209,8 +274,13 @@ def mesh_canon(col: Column) -> Column:
 
 def split_variant_id(col: Column) -> Column:
     """'geneid_variantid' → struct(gene_id, variant_id)
-    (server.py:1721-1728)."""
+    (server.py:1721-1728).
+
+    Split at the FIRST underscore, like the reference's
+    ``_i = _variant_id.find("_")`` — HGVS range variants legitimately
+    contain underscores (``673_HGVS:p.Lys23_Val25del`` → variant_id
+    ``HGVS:p.Lys23_Val25del``), so last-underscore splitting is wrong."""
     return F.struct(
         F.substring_index(col, "_", 1).alias("gene_id"),
-        F.substring_index(col, "_", -1).alias("variant_id"),
+        col.substr(F.instr(col, "_") + 1, F.length(col)).alias("variant_id"),
     )

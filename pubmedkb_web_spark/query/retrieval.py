@@ -39,6 +39,54 @@ def build_term_postings(corpus: DataFrame, doc_col: str = "doc_id", text_col: st
     return exploded.groupBy("term", "doc_id", "dl").agg(F.count(F.lit(1)).alias("tf"))
 
 
+def build_bm25_index(
+    corpus: DataFrame,
+    out_path: str,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+    n_index_partitions: int | None = None,
+) -> tuple[DataFrame, int, float]:
+    """Materialize the BM25 index ONCE — the reference serves queries from
+    a prebuilt mmap index (kb_utils.py:895-918); scoring must never pay the
+    corpus pass again.
+
+    Postings are range-partitioned and sorted by term so a query's
+    ``term IN (...)`` predicate prunes row groups at the scan (parquet
+    min/max statistics on the sort column); corpus stats (n_docs, avgdl)
+    land in a sidecar JSON next to the parquet. Returns
+    (postings, n_docs, avgdl) reloaded from the written artifact."""
+    import json
+    import os
+
+    spark = corpus.sparkSession
+    tp = build_term_postings(corpus, doc_col, text_col)
+    n = n_index_partitions or spark.sparkContext.defaultParallelism
+    (
+        tp.repartitionByRange(n, "term")
+        .sortWithinPartitions("term")
+        .write.mode("overwrite")
+        .parquet(out_path)
+    )
+    n_docs = corpus.count()
+    avgdl_row = (
+        tp.select("doc_id", "dl").distinct().agg(F.avg("dl").alias("a")).first()
+    )
+    avgdl = float(avgdl_row["a"]) if avgdl_row and avgdl_row["a"] is not None else 0.0
+    with open(os.path.join(out_path, "_bm25_stats.json"), "w") as f:
+        json.dump({"n_docs": int(n_docs), "avgdl": avgdl}, f)
+    return spark.read.parquet(out_path), int(n_docs), avgdl
+
+
+def load_bm25_index(spark, path: str) -> tuple[DataFrame, int, float]:
+    """Reload a :func:`build_bm25_index` artifact (postings, n_docs, avgdl)."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_bm25_stats.json")) as f:
+        stats = json.load(f)
+    return spark.read.parquet(path), int(stats["n_docs"]), float(stats["avgdl"])
+
+
 def bm25_score(
     term_postings: DataFrame,
     query_terms: list[str],

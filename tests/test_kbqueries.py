@@ -132,5 +132,16 @@ def test_mesh_canon_and_variant_split(spark):
     ).collect()[0]
     assert row["m2"] == "MESH:D009369"
     assert row["s"]["gene_id"] == "673" and row["s"]["variant_id"] == "rs113488022"
+    # underscore-bearing HGVS ids split at the FIRST underscore, like the
+    # reference's find("_") (server.py:1721-1723) — hand-computed trace:
+    # "673_HGVS:p.Lys23_Val25del" → ("673", "HGVS:p.Lys23_Val25del")
+    df_hgvs = spark.createDataFrame(
+        [("673_HGVS:p.Lys23_Val25del",), ("12_RS#:556",)], "v string"
+    )
+    got = {
+        (r["s"]["gene_id"], r["s"]["variant_id"])
+        for r in df_hgvs.select(K.split_variant_id(F.col("v")).alias("s")).collect()
+    }
+    assert got == {("673", "HGVS:p.Lys23_Val25del"), ("12", "RS#:556")}
     df2 = spark.createDataFrame([("MESH:D1",)], "m string")
     assert df2.select(K.mesh_canon(F.col("m")).alias("x")).collect()[0]["x"] == "MESH:D1"
