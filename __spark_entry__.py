@@ -699,6 +699,25 @@ def q_paper_text_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "title", "abstract")
 
 
+VKB_IDS = ["RS#:113488022", "HGVS:p.V600E", "HGVS:c.1799T>A", "MISSING:1"]
+VKB_NAMES = ["rs113488022", "p.v600e", "c.1799t>a", "nope"]
+
+
+def q_variant_in_kb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variant in-KB membership probe (get_variant_in_kb,
+    kb_utils.py:385-396) over the NEN dictionary: every (umbrella type,
+    id, name) combination that exists in the store, with its frequency.
+    Rank column encodes the reference's stable frequency-desc order."""
+    from pubmedkb_web_spark.query import nen as nen_mod
+
+    ed = fixtures.entity_dict_df(spark)
+    out = nen_mod.variant_in_kb(ed, VKB_IDS, VKB_NAMES)
+    w = W.orderBy(F.col("frequency").desc(), "type", "id", "name")
+    return out.withColumn("rank", F.row_number().over(w)).select(
+        "type", "id", "name", F.col("frequency").cast("long").alias("frequency"), "rank"
+    )
+
+
 def q_gvd_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GVD score table with the reference's blended display columns
     (server.py:1696-1702): annotator pivot + sort_score (build blend,
@@ -824,6 +843,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_text_docs": q_embed_text_docs,
         "kg_extractor_slice": q_kg_extractor_slice,
         "gvd_stats": q_gvd_stats,
+        "variant_in_kb": q_variant_in_kb,
         "multimodal_features": q_multimodal_features,
         "ann_cosine_lsh": q_ann_cosine_lsh,
         "fuzzy_nen": q_fuzzy_nen,
@@ -1542,6 +1562,33 @@ SELECT subj, obj, paper, sentence, odds_ratio, sort_score, new_score FROM (
   SELECT *, row_number() OVER (PARTITION BY subj ORDER BY sort_score DESC, obj ASC) AS rk
   FROM blended
 ) WHERE rk <= 3
+"""
+
+    # ---- variant_in_kb: Python replica of get_variant_in_kb
+    # (kb_utils.py:385-396) over the deterministic dictionary, pinned as
+    # VALUES — probe enumeration, frequency aggregation and the stable
+    # frequency-desc order recomputed independently of the Spark operator
+    from pubmedkb_web_spark.query.nen import VARIANT_UMBRELLA as _VU
+
+    _store: dict[tuple[str, str, str], int] = {}
+    _vpdf = fixtures.build_entity_dict()
+    for _t, _i, _n, _f in zip(_vpdf["type"], _vpdf["id"], _vpdf["name"], _vpdf["freq"]):
+        _store[(_t, _i, _n)] = _store.get((_t, _i, _n), 0) + int(_f)
+    _vhits = [
+        (t, i, n, _store[(t, i, n)])
+        for t in _VU
+        for i in VKB_IDS
+        for n in VKB_NAMES
+        if (t, i, n) in _store
+    ]
+    _vhits.sort(key=lambda x: (-x[3], x[0], x[1], x[2]))
+    vkb_rows = ", ".join(
+        f"('{t}', '{i}', '{n}', {f}, {r})"
+        for r, (t, i, n, f) in enumerate(_vhits, start=1)
+    )
+    sql["variant_in_kb"] = f"""
+SELECT type, id, name, frequency::BIGINT AS frequency, rank::INT AS rank
+FROM (VALUES {vkb_rows}) v(type, id, name, frequency, rank)
 """
 
     sql["kg_extractor_slice"] = f"""

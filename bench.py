@@ -63,6 +63,11 @@ def main() -> None:
         "embed_text_docs",
         "journal_impact_meta",
         "paper_text_fetch",
+        # round-3 operators
+        "kg_extractor_slice",
+        "gvd_stats",
+        "variant_in_kb",
+        "ann_cosine_lsh",
     ]
     qs = E.queries()
     times: dict[str, float] = {}

@@ -89,12 +89,61 @@ def enumerate_spans(sentences: DataFrame, max_tokens: int) -> DataFrame:
         F.posexplode(toks).alias("pos", "tok"),
     )
     w = W.partitionBy("doc_id", "sent_idx").orderBy("pos")
-    tokens = base.withColumn(
+    raw_tokens = base.withColumn(
         "offset",
         F.coalesce(
             F.sum(F.length("tok") + 1).over(w.rowsBetween(W.unboundedPreceding, -1)),
             F.lit(0),
         ).cast("int"),
+    )
+    # Tokenizer fidelity (round-2 VERDICT #6): the reference enumerates
+    # spaCy token n-grams (kb_utils.py:806-856), where punctuation detaches
+    # from words — "BRAF," and "(V600E)" still match their dictionary
+    # entries. Mirror that by stripping leading/trailing non-word chars per
+    # whitespace token (offset advanced past the leading strip); a token
+    # that is pure punctuation drops out and BLOCKS n-grams across it (its
+    # position gap breaks the consecutive-position chain), matching spaCy
+    # where the punctuation token would sit inside the n-gram. The Python
+    # oracle (tests/oracle.py) encodes the identical rule.
+    # explicit ASCII class, not \W: Java \W is ASCII-only while Python's is
+    # Unicode-aware — the oracle and the engine must agree byte-for-byte.
+    # The regexes only run on tokens whose EDGE chars are non-word (an
+    # ascii-code range check, pure codegen arithmetic): clean tokens — the
+    # overwhelming majority — pay zero regex cost (the unguarded version
+    # measured mentions 48→134 s at 400k docs).
+    _punct = "[^0-9A-Za-z_]"
+
+    def _is_word(c: F.Column) -> F.Column:
+        return (
+            ((c >= 48) & (c <= 57))
+            | ((c >= 65) & (c <= 90))
+            | ((c >= 97) & (c <= 122))
+            | (c == 95)
+        )
+
+    clean = _is_word(F.ascii(F.substring(F.col("tok"), 1, 1))) & _is_word(
+        F.ascii(F.substring(F.col("tok"), -1, 1))
+    )
+    lead = F.when(clean, F.lit(0)).otherwise(
+        F.length(F.regexp_extract(F.col("tok"), f"^({_punct}+)", 1))
+    )
+    core = F.when(clean, F.col("tok")).otherwise(
+        F.regexp_replace(
+            F.regexp_replace(F.col("tok"), f"^{_punct}+", ""), f"{_punct}+$", ""
+        )
+    )
+    tokens = (
+        raw_tokens.withColumn("_clean", clean)
+        .withColumn("_core", core)
+        .filter(F.col("_clean") | (F.length("_core") > 0))
+        .select(
+            "doc_id",
+            "sent_idx",
+            "content_sha256",
+            "pos",
+            (F.col("offset") + lead).cast("int").alias("offset"),
+            F.col("_core").alias("tok"),
+        )
     )
 
     spans = tokens.select(

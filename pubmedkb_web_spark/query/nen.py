@@ -30,6 +30,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql import Window as W
 
+from ..schemas import VARIANT_TYPES as VARIANT_UMBRELLA
+
 DEFAULT_MIN_SIMILARITY = 0.85
 DEFAULT_MAX_LENGTH_DIFF = 1
 DEFAULT_MAX_NAMES = 20
@@ -88,6 +90,62 @@ def ids_by_name(entity_dict: DataFrame, names: DataFrame) -> DataFrame:
     agg = joined.groupBy("name", "type", "id").agg(F.sum("freq").alias("freq"))
     w = W.partitionBy("name").orderBy(F.col("freq").desc(), F.col("id").asc())
     return agg.withColumn("rank", F.row_number().over(w))
+
+
+def variant_dict(entity_dict: DataFrame) -> DataFrame:
+    """The VariantNEN bidirectional id↔name store (kb_utils.py:1403-1434)
+    as a relation: (type, id, name_lower), names lowercased and deduped per
+    (id, name_lower) exactly like the reference's ``name_set`` guard; RS
+    ids additionally get the synthesized ``rs<digits>`` surface the
+    reference derives from the id itself (``"rs" + _id[len("RS#:"):]``).
+
+    One row per membership fact — the in-KB probe (get_variant_in_kb) and
+    both lookup directions are joins against this table."""
+    vt = F.array(*[F.lit(t) for t in VARIANT_UMBRELLA])
+    variants = entity_dict.filter(F.array_contains(vt, F.col("type")))
+    from_names = variants.select(
+        "type", "id", F.lower(F.col("name")).alias("name_lower")
+    )
+    from_rs_ids = (
+        variants.filter(F.col("id").startswith("RS#:"))
+        .select(
+            "type",
+            "id",
+            F.concat(F.lit("rs"), F.substring(F.col("id"), 5, 1 << 20)).alias("name_lower"),
+        )
+    )
+    return from_names.unionByName(from_rs_ids).dropDuplicates(["type", "id", "name_lower"])
+
+
+def variant_in_kb(
+    entity_dict: DataFrame, id_list: list[str], name_list: list[str]
+) -> DataFrame:
+    """get_variant_in_kb (kb_utils.py:385-396): probe every (variant type,
+    id, name) combination against the per-(type, id) name→frequency store;
+    emit hits sorted by frequency desc.
+
+    The reference's ``sorted(key=-frequency)`` is *stable* over its
+    enumeration order (type, then id_list order, then name_list order) —
+    mirrored here with probe ordinals as tie-break columns, so the result
+    is a total order identical to the reference's list."""
+    spark = entity_dict.sparkSession
+    probes = [
+        (t, ti, i, ii, n, ni)
+        for ti, t in enumerate(VARIANT_UMBRELLA)
+        for ii, i in enumerate(id_list)
+        for ni, n in enumerate(name_list)
+    ]
+    probe_df = spark.createDataFrame(
+        probes, "type string, t_ord int, id string, i_ord int, name string, n_ord int"
+    )
+    freq = entity_dict.groupBy("type", "id", "name").agg(F.sum("freq").alias("frequency"))
+    hits = freq.join(F.broadcast(probe_df), ["type", "id", "name"], "inner")
+    return (
+        hits.orderBy(
+            F.col("frequency").desc(), F.col("t_ord"), F.col("i_ord"), F.col("n_ord")
+        )
+        .select("type", "id", "name", "frequency")
+    )
 
 
 def aliases_by_id(

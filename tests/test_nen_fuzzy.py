@@ -53,3 +53,48 @@ def test_aliases_by_id_capped(spark):
 
     c = Counter((r["type"], r["id"]) for r in out)
     assert max(c.values()) <= 2
+
+
+def test_variant_dict_membership(spark):
+    """VariantNEN store semantics (kb_utils.py:1403-1434): lowercase dedup
+    per id, synthesized rs<digits> surface for RS#: ids."""
+    ed = fixtures.entity_dict_df(spark)
+    vd = nen.variant_dict(ed)
+    rows = {(r["type"], r["id"], r["name_lower"]) for r in vd.collect()}
+    # every VARIANT dict row is present lowercased
+    pdf = fixtures.build_entity_dict()
+    vt = set(nen.VARIANT_UMBRELLA)
+    for t, i, n in zip(pdf["type"], pdf["id"], pdf["name"]):
+        if t in vt:
+            assert (t, i, n.lower()) in rows
+    # RS ids carry the synthesized surface
+    assert ("SNP", "RS#:113488022", "rs113488022") in rows
+    # only variant types, no duplicates
+    assert all(t in vt for t, _, _ in rows)
+    assert vd.count() == len(rows)
+
+
+def test_variant_in_kb_matches_python_oracle(spark):
+    """get_variant_in_kb (kb_utils.py:385-396) vs a direct Python replica:
+    type-by-type probe, stable sort by frequency desc."""
+    ed = fixtures.entity_dict_df(spark)
+    id_list = ["RS#:113488022", "HGVS:p.V600E", "MISSING:1"]
+    name_list = ["rs113488022", "p.v600e", "nope"]
+    got = [
+        (r["type"], r["id"], r["name"], r["frequency"])
+        for r in nen.variant_in_kb(ed, id_list, name_list).collect()
+    ]
+
+    pdf = fixtures.build_entity_dict()
+    store: dict[tuple[str, str, str], int] = {}
+    for t, i, n, f in zip(pdf["type"], pdf["id"], pdf["name"], pdf["freq"]):
+        store[(t, i, n)] = store.get((t, i, n), 0) + int(f)
+    expect = []
+    for t in nen.VARIANT_UMBRELLA:
+        for i in id_list:
+            for n in name_list:
+                if (t, i, n) in store:
+                    expect.append((t, i, n, store[(t, i, n)]))
+    expect.sort(key=lambda x: -x[3])  # python sort is stable
+    assert got == expect
+    assert got, "probe must hit the golden variant entries"
