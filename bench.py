@@ -6,7 +6,17 @@ Prints exactly ONE JSON line:
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default 32),
-     SPARK_GRAFT_BENCH_DOCS (KG corpus size, default 4000).
+     SPARK_GRAFT_BENCH_DOCS (KG corpus size, default 4000),
+     SPARK_GRAFT_BENCH_REPS (repetitions per query, default 2).
+
+Noise methodology (round-2 VERDICT #5): this host shows up to 3.4x
+wall-clock variance on byte-identical runs (co-tenant CPU steal —
+SCALING.json host_noise_evidence), so single-shot per-query timings are
+untrustworthy. Each query is timed SPARK_GRAFT_BENCH_REPS times in
+*interleaved* order (the whole list runs, then runs again) and the
+reported time is the per-query MIN — both repetitions of a query land in
+different noise windows, and min filters additive interference. The JSON
+carries "reps" and "method" so BENCH_r{N} records the protocol.
 """
 
 from __future__ import annotations
@@ -69,16 +79,17 @@ def main() -> None:
         "variant_in_kb",
         "ann_cosine_lsh",
     ]
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
     qs = E.queries()
     times: dict[str, float] = {}
-    total = 0.0
-    for name in headline:
-        t0 = time.time()
-        # count() drives the full plan without collecting wide rows
-        qs[name](spark, sf_dir).count()
-        dt = round(time.time() - t0, 3)
-        times[name] = dt
-        total += dt
+    for _rep in range(max(1, reps)):
+        for name in headline:
+            t0 = time.time()
+            # count() drives the full plan without collecting wide rows
+            qs[name](spark, sf_dir).count()
+            dt = round(time.time() - t0, 3)
+            times[name] = min(times.get(name, dt), dt)
+    total = sum(times.values())
 
     # KG pipeline throughput: fresh build (no resume), triples/sec
     out_dir = tempfile.mkdtemp(prefix="bench_kg_")
@@ -102,6 +113,10 @@ def main() -> None:
                 "kg_triples": n_triples,
                 "triples_per_sec": round(n_triples / kg_dt, 2) if kg_dt else None,
                 "cpus": cpus,
+                "reps": reps,
+                "method": "per-query min over interleaved repetitions "
+                "(host co-tenant noise up to 3.4x on identical runs; "
+                "see SCALING.json host_noise_evidence)",
             }
         )
     )

@@ -344,13 +344,46 @@ def subtract_glof_overlaps(mentions: DataFrame, glof_mentions: DataFrame) -> Dat
     )
 
 
+def glof_sentence_prefilter(sentences: DataFrame, glof_dict: DataFrame) -> DataFrame:
+    """Drop sentences that cannot possibly yield a GLOF dictionary match
+    BEFORE paying for span enumeration.
+
+    A GLOF candidate is an n-gram of punctuation-stripped tokens equal
+    (case-insensitively) to a dict term, so the raw sentence must contain
+    the term's words in order, separated only by non-word characters
+    (trailing punct + the space + leading punct). One `rlike` per sentence
+    is a strict superset test — zero false negatives — and replaces a full
+    n-gram enumeration over the whole corpus with one over the (tiny)
+    matching subset. Semantics are unchanged: downstream overlap
+    resolution is per-sentence and surviving sentences keep every
+    candidate. Skipped for dictionaries too large for one regex (the GLOF
+    term list, /root/reference/server.py:1292-1334, is a fixed handful)."""
+    import re as _re
+
+    names = [r["name"] for r in glof_dict.select("name").distinct().collect()]
+    if not names or len(names) > 256:
+        return sentences
+    parts = []
+    for nm in names:
+        words = [w for w in nm.lower().split(" ") if w]
+        if not words:
+            continue
+        parts.append("[^0-9a-z_]+".join(_re.escape(w) for w in words))
+    if not parts:
+        return sentences
+    pattern = "(?:" + "|".join(sorted(parts)) + ")"
+    return sentences.filter(F.lower(F.col("sentence")).rlike(pattern))
+
+
 def build_glof_mentions(
     sentences: DataFrame, glof_dict: DataFrame, max_tokens: int
 ) -> DataFrame:
     """GLOF track over the same sentences: identical M1 machinery with the
     GLOF term dictionary (type='GLOF', ids=[direction]); overlap-resolved
     within its own population (server.py:1304-1313)."""
-    spans = enumerate_spans(sentences, max_tokens=max_tokens)
+    spans = enumerate_spans(
+        glof_sentence_prefilter(sentences, glof_dict), max_tokens=max_tokens
+    )
     candidates = dictionary_candidates(spans, glof_dict)
     return resolve_overlaps(candidates).select(
         "doc_id", "sent_idx", "mention_idx", "name", "type", "ids",

@@ -67,6 +67,45 @@ def test_punctuation_adjacent_mentions(spark):
     assert doc1[v_off : v_off + 7] == "p.v600e"
 
 
+def test_glof_prefilter_superset(spark):
+    """The rlike prefilter must never drop a sentence that yields a GLOF
+    candidate — punctuation-adjacent surfaces ('(gain of function)',
+    'loss-of-function' does NOT tokenize to the term) included. Parity:
+    GLOF mentions over the prefiltered corpus == over the full corpus."""
+    rows = [
+        ("r", "a", "c1", "py", "a clear (gain of function) variant here"),
+        ("r", "b", "c2", "py", "shows loss of function, in assays"),
+        ("r", "c", "c3", "py", "no relevant phrase in this one at all"),
+        ("r", "d", "c4", "py", "gain ; of function split by punct token"),
+    ]
+    src = fixtures.ingest(
+        spark.createDataFrame(
+            rows, "repo string, path string, commit string, lang string, content string"
+        )
+    )
+    sents = M.split_sentences(src)
+    gd = fixtures.glof_dict_df(spark)
+    gmax = max(len(t.split(" ")) for t, _ in fixtures.GLOF_TERMS)
+    kept = M.glof_sentence_prefilter(sents, gd)
+    # doc 'c' filtered out; punctuation-adjacent docs survive; the
+    # punct-token doc 'd' passes the (superset) regex even though no
+    # candidate will come of it
+    kept_paths = {r["doc_id"] for r in kept.collect()}
+    assert len(kept_paths) == 3
+    full = M.build_glof_mentions(sents, gd, gmax)
+    key = lambda r: (r["doc_id"], r["sent_idx"], r["offset"], r["name"])
+    # build the unfiltered variant by running the M1 machinery directly
+    spans = M.enumerate_spans(sents, max_tokens=gmax)
+    cands = M.dictionary_candidates(spans, gd)
+    unfiltered = M.resolve_overlaps(cands)
+    assert sorted(map(key, full.collect())) == sorted(map(key, unfiltered.collect()))
+    # the punct-split doc yields no candidate (position gap blocks the
+    # n-gram) yet passing it through the prefilter is harmless: exactly one
+    # 'gain of function' mention total (doc a), none from doc d
+    gof = [r for r in full.collect() if r["name"] == "gain of function"]
+    assert len(gof) == 1
+
+
 def test_glof_merge_matches_python_oracle(spark):
     import hashlib
 
