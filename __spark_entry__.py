@@ -444,16 +444,36 @@ def q_kg_pipeline_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_hgvsp_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-field slice of the HGVSp parser over the reference's
+    dispatch classes (HGVSp_parser.py:18-109). The projection is limited to
+    the hand-derivable fields (kind/ref/pos/alt per the reference dispatch:
+    parens stripped, Ter→*, ext C-terminal carries the stop codon) so the
+    DuckDB oracle can pin them as literal expected rows; the rendered
+    `text` sentences stay covered by tests/test_hgvsp.py."""
     from pubmedkb_web_spark.functions.hgvsp import parse_hgvsp_col
 
-    cases = [
-        "p.V600E", "p.Val600Glu", "p.(Arg97fs)", "p.Met1ext-5", "p.Ter110GlnextTer17",
-        "p.Cys28delinsTrpVal", "p.Lys23_Val25del", "p.Gly4dup", "p.Lys2_Gly3insGlnSerLys",
-        "p.Trp26Ter", "p.=", "garbage",
-    ]
-    df = spark.createDataFrame([(c,) for c in cases], "hgvsp string")
+    df = spark.createDataFrame([(c,) for c, *_ in _HGVSP_PINNED], "hgvsp string")
     parsed = df.select("hgvsp", parse_hgvsp_col(F.col("hgvsp")).alias("p"))
-    return parsed.select("hgvsp", "p.kind", "p.ref_aa", "p.pos_start", "p.alt_aa", "p.text")
+    return parsed.select("hgvsp", "p.kind", "p.ref_aa", "p.pos_start", "p.alt_aa")
+
+
+# hand-derived from the reference dispatch (HGVSp_parser.py:18-109) and the
+# pytest expectation table (tests/test_hgvsp.py) — NOT generated by running
+# the engine: (raw, kind, ref_aa, pos_start, alt_aa)
+_HGVSP_PINNED = [
+    ("p.V600E", "substitution", "V", 600, "E"),
+    ("p.Val600Glu", "substitution", "V", 600, "E"),
+    ("p.(Arg97fs)", "fs", "R", 97, None),
+    ("p.Met1ext-5", "ext", "M", 1, None),
+    ("p.Ter110GlnextTer17", "ext", "*", 110, "Q"),
+    ("p.Cys28delinsTrpVal", "delins", "C", 28, "WV"),
+    ("p.Lys23_Val25del", "del", "K", 23, None),
+    ("p.Gly4dup", "dup", "G", 4, None),
+    ("p.Lys2_Gly3insGlnSerLys", "ins", "K", 2, "QSK"),
+    ("p.Trp26Ter", "substitution", "W", 26, "*"),
+    ("p.=", "unknown", None, None, None),
+    ("garbage", "unknown", None, None, None),
+]
 
 
 def q_fuzzy_nen(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1637,6 +1657,24 @@ store AS (
 )
 SELECT ids.doc_id, coalesce(title, '') AS title, coalesce(abstract, '') AS abstract
 FROM ids LEFT JOIN store USING (doc_id)
+"""
+
+    # pinned oracle: the expected rows are hand-derived from the reference's
+    # dispatch (HGVSp_parser.py:18-109), not generated by the engine
+    def _lit(v):
+        if v is None:
+            return "NULL"
+        if isinstance(v, int):
+            return str(v)
+        return "'" + v.replace("'", "''") + "'"
+
+    hgvsp_rows = ",\n  ".join(
+        "(" + ", ".join(_lit(v) for v in row) + ")" for row in _HGVSP_PINNED
+    )
+    sql["hgvsp_parse"] = f"""
+SELECT hgvsp, kind, ref_aa, pos_start::INT AS pos_start, alt_aa
+FROM (VALUES
+  {hgvsp_rows}) v(hgvsp, kind, ref_aa, pos_start, alt_aa)
 """
 
     return sql

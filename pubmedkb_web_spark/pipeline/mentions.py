@@ -68,9 +68,10 @@ def enumerate_spans(sentences: DataFrame, max_tokens: int) -> DataFrame:
     """All token n-grams (n ≤ max_tokens, 3..100 chars) with char offsets.
 
     Codegen-friendly formulation: posexplode the tokens, compute each
-    token's char offset with a window cumulative sum, then build n-grams by
-    iterative self-joins on the token position (co-partitioned on
-    (doc_id, sent_idx) after one shuffle — Catalyst reuses the exchange).
+    token's char offset with a window cumulative sum, then build ALL
+    n-grams in the same single window pass via lead(tok, k)/lead(pos, k)
+    columns — one shuffle on (doc_id, sent_idx), one sort, no per-level
+    self-joins (see the in-line note below).
 
     An earlier version did this per-row with nested higher-order functions
     (sequence/transform/filter with an aggregate for the offset). That is
@@ -146,42 +147,51 @@ def enumerate_spans(sentences: DataFrame, max_tokens: int) -> DataFrame:
         )
     )
 
-    spans = tokens.select(
-        "doc_id", "sent_idx", "content_sha256", "offset", "pos",
-        F.col("tok").alias("span_text"),
-    )
-    out = [spans]
-    nxt = tokens.select(
-        "doc_id", "sent_idx", F.col("pos").alias("nxt_pos"), F.col("tok").alias("nxt_tok")
-    )
-    # string-qualified aliases (not dataset-bound df["col"] refs): the span
-    # plans get re-joined downstream (normal track × GLOF track share this
-    # subtree), and dataset-bound refs would trip failAmbiguousSelfJoin there
-    for n in range(2, max_tokens + 1):
-        p, x = f"_sp{n}", f"_sx{n}"
-        prev = out[-1].alias(p)
-        extended = prev.join(
-            nxt.alias(x),
-            (F.col(f"{p}.doc_id") == F.col(f"{x}.doc_id"))
-            & (F.col(f"{p}.sent_idx") == F.col(f"{x}.sent_idx"))
-            & (F.col(f"{x}.nxt_pos") == F.col(f"{p}.pos") + 1),
-        ).select(
-            F.col(f"{p}.doc_id"),
-            F.col(f"{p}.sent_idx"),
-            F.col(f"{p}.content_sha256"),
-            F.col(f"{p}.offset"),
-            F.col(f"{x}.nxt_pos").alias("pos"),
-            F.concat_ws(
-                " ", F.col(f"{p}.span_text"), F.col(f"{x}.nxt_tok")
-            ).alias("span_text"),
+    # N-gram construction: ONE window pass with lead(tok,k)/lead(pos,k)
+    # columns, not per-level self-joins. An earlier version extended spans
+    # by joining the token relation once per n-gram level; the join key
+    # includes the position equality (nxt_pos == pos + 1), so every level
+    # re-shuffled the full span relation on a fresh key — max_tokens
+    # shuffles of the widest intermediate. The lead() formulation computes
+    # every n-gram in one sorted window evaluation (the same window spec as
+    # the offset cumsum above, so Catalyst collapses both into a single
+    # sort). Validity needs only the LAST lead position: positions are
+    # strictly increasing, so lead(pos, n-1) == pos + n - 1 forces every
+    # intermediate gap to be exactly 1 (a dropped pure-punct token makes a
+    # gap > 1 and correctly blocks the n-gram).
+    lw = W.partitionBy("doc_id", "sent_idx").orderBy("pos")
+    led = tokens
+    for k in range(1, max_tokens):
+        led = led.withColumn(f"_t{k}", F.lead("tok", k).over(lw)).withColumn(
+            f"_p{k}", F.lead("pos", k).over(lw)
         )
-        out.append(extended)
-
-    all_spans = out[0]
-    for df in out[1:]:
-        all_spans = all_spans.unionByName(df)
-    return all_spans.filter(
-        (F.length("span_text") >= MIN_SPAN_CHARS)
+    grams = [
+        F.struct(F.col("tok").alias("span_text"))
+    ]
+    for n in range(2, max_tokens + 1):
+        valid = F.col(f"_p{n-1}") == F.col("pos") + (n - 1)
+        text = F.concat_ws(
+            " ", F.col("tok"), *[F.col(f"_t{k}") for k in range(1, n)]
+        )
+        grams.append(
+            F.when(valid, F.struct(text.alias("span_text"))).otherwise(F.lit(None))
+        )
+    exploded = led.select(
+        "doc_id",
+        "sent_idx",
+        "content_sha256",
+        "offset",
+        F.explode(F.array(*grams)).alias("_g"),
+    ).select(
+        "doc_id",
+        "sent_idx",
+        "content_sha256",
+        "offset",
+        F.col("_g.span_text").alias("span_text"),
+    )
+    return exploded.filter(
+        F.col("span_text").isNotNull()
+        & (F.length("span_text") >= MIN_SPAN_CHARS)
         & (F.length("span_text") <= MAX_SPAN_CHARS)
     ).select("doc_id", "sent_idx", "content_sha256", "offset", "span_text")
 
