@@ -53,12 +53,22 @@ def main() -> None:
         extra_conf=extra,
     )
 
-    # shared upstream: keyed by (n_docs, code fingerprint); resume=True so
-    # the first invocation builds it and later ones read the same bytes
+    # shared upstream (ONLY source -> sentences/mentions, not the full
+    # pipeline): keyed by (n_docs, code fingerprint); the first invocation
+    # builds it and later ones read the same bytes
+    from pubmedkb_web_spark import fixtures
+    from pubmedkb_web_spark.pipeline import mentions as M
+
     up_dir = os.path.join(base, f"up_{n_docs}_{runner.CODE_FINGERPRINT[:12]}")
-    tables = runner.run_kg_pipeline(spark, up_dir, n_docs=n_docs, resume=True)
-    sentences = spark.read.parquet(os.path.join(up_dir, "sentences"))
-    mentions = spark.read.parquet(os.path.join(up_dir, "mentions"))
+    s_path = os.path.join(up_dir, "sentences")
+    m_path = os.path.join(up_dir, "mentions")
+    if not (os.path.exists(s_path) and os.path.exists(m_path)):
+        src = fixtures.ingest(fixtures.source_table(spark, n_docs))
+        s_df, m_df = M.build_mentions(src, fixtures.entity_dict_df(spark).cache())
+        s_df.write.mode("overwrite").parquet(s_path)
+        m_df.write.mode("overwrite").parquet(m_path)
+    sentences = spark.read.parquet(s_path)
+    mentions = spark.read.parquet(m_path)
 
     rec: dict = {"cores": cores, "n_docs": n_docs, "ts": round(time.time(), 1)}
 

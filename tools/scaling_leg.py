@@ -6,8 +6,16 @@ the same same-noise-window property as the in-process sampler.
 
 Usage: python tools/scaling_leg.py <cores> <n_docs> [stage_bisect]
 
-Cluster-analog resourcing (round-2 VERDICT confounders, both removed):
-- heap scales with cores (4N executors bring 4N memory): 2.5 g/core
+Cluster-analog resourcing:
+- heap FLAT at 20 g per JVM regardless of core count. The round-2 plan of
+  2.5 g/core ("4N executors bring 4N memory") was measured to be the wrong
+  analog: an 80 g single-JVM heap makes the aggregate-heavy annotations
+  plan ~4x SLOWER at BOTH 8 and 32 cores (fresh-JVM interleaved matrix,
+  SCALING.json r3: 8c 26.9 s@20g vs 117.9 s@80g; 32c 40.4 s@20g vs
+  162.8 s@80g) — oversized execution memory grows hash aggregates into
+  tens-of-GB random-access working sets instead of spilling sequentially
+  to tmpfs. Real clusters hold memory-per-core constant by adding modest
+  JVMs (4N executors x ~20 g), never by inflating one JVM's heap to 80 g.
 - shuffle + checkpoint on tmpfs (SPARK_GRAFT_SCALE_TMPFS=1, default): a 4N
   cluster brings 4N local disks; the sandbox's single 460 MB/s virtual disk
   is not the cluster analog
@@ -44,7 +52,7 @@ def main() -> None:
     spark = build_session(
         cores=cores,
         shuffle_partitions=4 * int(cores),
-        driver_memory=f"{int(cores) * 5 // 2}g",
+        driver_memory="20g",
         extra_conf=extra,
     )
     out = tempfile.mkdtemp(dir=base)
@@ -60,7 +68,7 @@ def main() -> None:
         "triples": n,
         "tps": round(n / dt, 1),
         "tmpfs": tmpfs,
-        "heap_g": int(cores) * 5 // 2,
+        "heap_g": 20,
         "stages": stages,
         "ts": round(time.time(), 1),
     }
