@@ -426,7 +426,20 @@ def q_top_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ----- rows-only (non-SQL-expressible) --------------------------------------
+# hand-derived per-annotator deduplicated triple counts of the FIXED
+# 120-doc gate corpus, computed by the pure-Python reference-semantics
+# oracle (tests.oracle.pipeline_annotator_counts(120) — mentions →
+# extractors → canonical rewrite → dedup in plain Python), NOT by running
+# the Spark engine; tests/test_checkpoint.py asserts oracle == pinned ==
+# engine so drift on any side is visible
+_KG_GATE_PINNED = [
+    ("co_occurrence", 289),
+    ("odds_ratio", 242),
+    ("openie_ore", 289),
+    ("rbert_cre", 22),
+    ("spacy_ore", 289),
+]
+
 
 def q_kg_pipeline_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     # content-addressed by the pipeline code fingerprint: a code change gets
@@ -867,9 +880,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "ann_cosine_lsh": q_ann_cosine_lsh,
         "fuzzy_nen": q_fuzzy_nen,
-        # rows-only (no SQL oracle possible: full pipeline needs xxhash64
-        # ann_ids + the fixture corpus; HGVSp text decode is a prose
-        # generator — both have exact pytest oracles instead)
+        # pinned-VALUES oracles (expected rows derived from Python oracles /
+        # the reference dispatch, NOT from running the engine): the full
+        # pipeline's per-annotator counts (_KG_GATE_PINNED ←
+        # tests.oracle.pipeline_annotator_counts) and the HGVSp structured
+        # fields (_HGVSP_PINNED ← HGVSp_parser.py:18-109); HGVSp prose
+        # rendering stays covered by tests/test_hgvsp.py
         "kg_pipeline_triples": q_kg_pipeline_triples,
         "hgvsp_parse": q_hgvsp_parse,
     }
@@ -1675,6 +1691,17 @@ FROM ids LEFT JOIN store USING (doc_id)
 SELECT hgvsp, kind, ref_aa, pos_start::INT AS pos_start, alt_aa
 FROM (VALUES
   {hgvsp_rows}) v(hgvsp, kind, ref_aa, pos_start, alt_aa)
+"""
+
+    # full-pipeline gate: per-annotator counts over the fixed 120-doc
+    # corpus, pinned from the pure-Python oracle (see _KG_GATE_PINNED) —
+    # the hgvsp_parse technique applied to the end-to-end build
+    kg_rows = ",\n  ".join(f"('{a}', {n})" for a, n in _KG_GATE_PINNED)
+    sql["kg_pipeline_triples"] = f"""
+SELECT annotator, n_triples::BIGINT AS n_triples
+FROM (VALUES
+  {kg_rows}) v(annotator, n_triples)
+ORDER BY annotator
 """
 
     return sql

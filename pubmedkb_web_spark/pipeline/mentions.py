@@ -165,8 +165,19 @@ def enumerate_spans(sentences: DataFrame, max_tokens: int) -> DataFrame:
         led = led.withColumn(f"_t{k}", F.lead("tok", k).over(lw)).withColumn(
             f"_p{k}", F.lead("pos", k).over(lw)
         )
+    # Each gram struct carries its CONSTRUCTION-ORDER index within the
+    # start token: the reference's annotator scans term lengths LONGEST
+    # FIRST per starting token (kb_utils.py:828-834, `range(max, 0, -1)`),
+    # so the n-gram of n tokens is the (max_tokens - n)-th candidate built
+    # at this position. enum_idx = pos * (max_tokens + 1) + (max_tokens - n)
+    # totally orders candidates by (start pos asc, length desc) — exactly
+    # the order the reference's stable offset sort (server.py:1296)
+    # preserves on same-offset ties.
     grams = [
-        F.struct(F.col("tok").alias("span_text"))
+        F.struct(
+            F.col("tok").alias("span_text"),
+            F.lit(max_tokens - 1).alias("rel"),
+        )
     ]
     for n in range(2, max_tokens + 1):
         valid = F.col(f"_p{n-1}") == F.col("pos") + (n - 1)
@@ -174,13 +185,20 @@ def enumerate_spans(sentences: DataFrame, max_tokens: int) -> DataFrame:
             " ", F.col("tok"), *[F.col(f"_t{k}") for k in range(1, n)]
         )
         grams.append(
-            F.when(valid, F.struct(text.alias("span_text"))).otherwise(F.lit(None))
+            F.when(
+                valid,
+                F.struct(
+                    text.alias("span_text"),
+                    F.lit(max_tokens - n).alias("rel"),
+                ),
+            ).otherwise(F.lit(None))
         )
     exploded = led.select(
         "doc_id",
         "sent_idx",
         "content_sha256",
         "offset",
+        "pos",
         F.explode(F.array(*grams)).alias("_g"),
     ).select(
         "doc_id",
@@ -188,12 +206,15 @@ def enumerate_spans(sentences: DataFrame, max_tokens: int) -> DataFrame:
         "content_sha256",
         "offset",
         F.col("_g.span_text").alias("span_text"),
+        (F.col("pos") * (max_tokens + 1) + F.col("_g.rel"))
+        .cast("int")
+        .alias("enum_idx"),
     )
     return exploded.filter(
         F.col("span_text").isNotNull()
         & (F.length("span_text") >= MIN_SPAN_CHARS)
         & (F.length("span_text") <= MAX_SPAN_CHARS)
-    ).select("doc_id", "sent_idx", "content_sha256", "offset", "span_text")
+    ).select("doc_id", "sent_idx", "content_sha256", "offset", "span_text", "enum_idx")
 
 
 def dictionary_candidates(spans: DataFrame, entity_dict: DataFrame) -> DataFrame:
@@ -233,6 +254,7 @@ def dictionary_candidates(spans: DataFrame, entity_dict: DataFrame) -> DataFrame
         F.col("span_text").alias("name"),
         "type",
         "ids",
+        "enum_idx",
     )
 
 
@@ -241,7 +263,7 @@ def dictionary_candidates(spans: DataFrame, entity_dict: DataFrame) -> DataFrame
 _CAND_TYPE = T.StructType(
     [
         T.StructField("offset", T.IntegerType()),
-        T.StructField("neg_len", T.IntegerType()),
+        T.StructField("enum_idx", T.IntegerType()),
         T.StructField("type", T.StringType()),
         T.StructField("name", T.StringType()),
         T.StructField("ids", T.ArrayType(T.StringType())),
@@ -263,7 +285,7 @@ def _greedy_nonoverlap(cands: pd.Series) -> pd.Series:
             start = int(c["offset"])
             if start >= last_end:
                 kept.append(c)
-                last_end = start - int(c["neg_len"])
+                last_end = start + len(c["name"])
         return kept
 
     return cands.map(fold)
@@ -272,12 +294,21 @@ def _greedy_nonoverlap(cands: pd.Series) -> pd.Series:
 def resolve_overlaps(candidates: DataFrame) -> DataFrame:
     """Greedy non-overlap resolution per sentence (server.py:1292-1302).
 
-    Sort by (offset asc, length desc, type asc, name) — the deterministic
-    stand-in for the reference's *stable* offset-only sort — then keep a
-    span iff it starts at/after the end of the last kept span. Exactly one
-    mention survives per position, like the reference: ties on the identical
-    span keep only the first (server.py:1295-1302 appends only when
-    ``offset >= last_offset``, so a same-span duplicate is dropped).
+    Sort by (offset asc, enum_idx asc, type asc, name) and keep a span iff
+    it starts at/after the end of the last kept span. The reference sorts
+    its candidate list with Python's *stable* sort on offset alone
+    (server.py:1296), so same-offset ties preserve CONSTRUCTION ORDER —
+    and its span enumerator constructs candidates longest-first per start
+    token (kb_utils.py:828-834). ``enum_idx`` carries exactly that
+    enumeration order from :func:`enumerate_spans` through the dictionary
+    join, so the stable-sort behavior is reproduced, not approximated.
+    (type, name) remains as a final determinism guard for the one case the
+    reference leaves unordered: the same span text matching under two
+    dictionary types — its name_dict collapses those by name, ours keeps
+    the typed rows. Exactly one mention survives per position, like the
+    reference: ties on the identical span keep only the first
+    (server.py:1295-1302 appends only when ``offset >= last_offset``, so a
+    same-span duplicate is dropped).
 
     The scan is inherently sequential per sentence — a *kept* span's end
     decides the next keep while a *rejected* span's end must not, so no
@@ -291,7 +322,7 @@ def resolve_overlaps(candidates: DataFrame) -> DataFrame:
     """
     cand = F.struct(
         F.col("offset").cast("int").alias("offset"),
-        (-F.length("name")).cast("int").alias("neg_len"),
+        F.col("enum_idx").cast("int").alias("enum_idx"),
         F.col("type").alias("type"),
         F.col("name").alias("name"),
         F.col("ids").alias("ids"),
@@ -359,15 +390,28 @@ def glof_sentence_prefilter(sentences: DataFrame, glof_dict: DataFrame) -> DataF
     BEFORE paying for span enumeration.
 
     A GLOF candidate is an n-gram of punctuation-stripped tokens equal
-    (case-insensitively) to a dict term, so the raw sentence must contain
-    the term's words in order, separated only by non-word characters
-    (trailing punct + the space + leading punct). One `rlike` per sentence
-    is a strict superset test — zero false negatives — and replaces a full
+    (case-insensitively) to a dict term. Consecutive n-gram words come from
+    ADJACENT space-split tokens (a dropped pure-punct token leaves a
+    position gap that blocks the n-gram), so between two term words the
+    raw sentence always holds exactly one literal space, flanked by the
+    tokens' edge punctuation. Joining the term words with ``[^ ]* [^ ]*``
+    — at least one literal space, any non-space junk around it — is
+    therefore a strict superset test with zero false negatives, EVEN under
+    Unicode lowering: a separator char that ``lower()`` maps into an ASCII
+    word char (U+212A Kelvin → 'k', U+0130 → 'i'+combining dot) lands in
+    the ``[^ ]*`` junk, unlike the previous ``[^0-9a-z_]+`` joiner which
+    such a char would break (round-3 ADVICE). Term-word chars themselves
+    lower contiguously (simple per-char mapping), so the plain lowered
+    words match as substrings. One `rlike` per sentence replaces a full
     n-gram enumeration over the whole corpus with one over the (tiny)
-    matching subset. Semantics are unchanged: downstream overlap
-    resolution is per-sentence and surviving sentences keep every
-    candidate. Skipped for dictionaries too large for one regex (the GLOF
-    term list, /root/reference/server.py:1292-1334, is a fixed handful)."""
+    matching subset; false positives only pay enumeration. Skipped for
+    dictionaries too large for one regex (the GLOF term list,
+    /root/reference/server.py:1292-1334, is a fixed handful).
+
+    NOTE: this function runs an EAGER driver-side job at plan-construction
+    time (`glof_dict.select("name").collect()` — dictionary-sized, tiny by
+    contract); callers building plans they may never execute still pay it.
+    """
     import re as _re
 
     names = [r["name"] for r in glof_dict.select("name").distinct().collect()]
@@ -378,7 +422,7 @@ def glof_sentence_prefilter(sentences: DataFrame, glof_dict: DataFrame) -> DataF
         words = [w for w in nm.lower().split(" ") if w]
         if not words:
             continue
-        parts.append("[^0-9a-z_]+".join(_re.escape(w) for w in words))
+        parts.append("[^ ]* [^ ]*".join(_re.escape(w) for w in words))
     if not parts:
         return sentences
     pattern = "(?:" + "|".join(sorted(parts)) + ")"

@@ -223,5 +223,10 @@ def run_rel(
         # collecting the page is the honest cost model
         from . import summary as summary_mod
 
-        summary = summary_mod.summarize_page([r.asDict() for r in relations.collect()])
+        summary = summary_mod.summarize_page(
+            [r.asDict() for r in relations.collect()],
+            e1_spec=e1_spec,
+            e2_spec=e2_spec,
+            pmid=pmid,
+        )
     return RelResult(papers=page, relations=relations, statistics=stats, summary=summary)

@@ -62,26 +62,40 @@ def detect_mentions(content: str, dict_index, max_tokens: int) -> list[dict]:
             m = re.match(r"^([^0-9A-Za-z_]*)(.*?)([^0-9A-Za-z_]*)$", t)
             lead, core = m.group(1), m.group(2)
             toks.append((off + len(lead), core))
+        # Construction order mirrors the reference's scan
+        # (kb_utils.py:828-834): starting tokens ascending, term lengths
+        # LONGEST FIRST per start. enum carries that order so the greedy
+        # sort below reproduces Python's stable offset-sort behavior
+        # (server.py:1296) exactly, not via a length-desc stand-in.
         cands = []
+        enum = 0
         for i in range(len(toks)):
             off = toks[i][0]
             if not toks[i][1]:
                 continue
-            for n in range(1, max_tokens + 1):
+            for n in range(max_tokens, 0, -1):
                 if i + n > len(toks):
-                    break
+                    continue
                 cores = [toks[j][1] for j in range(i, i + n)]
                 if any(not c for c in cores):
-                    break  # dropped token blocks longer n-grams
+                    continue  # dropped token blocks this n-gram
                 span = " ".join(cores)
+                enum += 1
                 if not (3 <= len(span) <= 100):
                     continue
                 for (nm, t), ids in dict_index.items():
                     if nm == span.lower():
                         cands.append(
-                            {"sent_idx": sent_idx, "offset": off, "name": span, "type": t, "ids": ids}
+                            {
+                                "sent_idx": sent_idx,
+                                "offset": off,
+                                "name": span,
+                                "type": t,
+                                "ids": ids,
+                                "enum": enum,
+                            }
                         )
-        cands.sort(key=lambda c: (c["offset"], -len(c["name"]), c["type"], c["name"]))
+        cands.sort(key=lambda c: (c["offset"], c["enum"], c["type"], c["name"]))
         # reference greedy (server.py:1295-1302): exactly one mention per
         # position — a same-span duplicate has offset < last_end, dropped
         kept, last_end = [], -1
@@ -243,3 +257,84 @@ def corpus_triples(n_docs: int, seed: int = 42) -> set[tuple]:
         doc_id = hashlib.sha256(f"{repo}\x00{path}\x00{commit}".encode()).hexdigest()[:16]
         out |= doc_triples(content, doc_id, idx, max_tokens)
     return out
+
+
+# ---------------- full-pipeline oracle (kg_pipeline_triples gate) -----------
+
+
+def canonical_map_py(entity_pdf) -> dict[str, str]:
+    """Python mirror of pipeline/canonicalize.py: ids sharing a lowercased
+    surface form are one entity; canonical id = lexicographic min of the
+    connected component (union-find — label propagation converges to the
+    same fixpoint)."""
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a: str, b: str) -> None:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    by_name: dict[str, list[str]] = defaultdict(list)
+    for i, n in zip(entity_pdf["id"], entity_pdf["name"]):
+        parent.setdefault(i, i)
+        by_name[n.lower()].append(i)
+    for ids in by_name.values():
+        for other in ids[1:]:
+            union(ids[0], other)
+    return {i: find(i) for i in parent}
+
+
+def pipeline_annotator_counts(n_docs: int, seed: int = 42) -> dict[str, int]:
+    """Per-annotator DEDUPLICATED triple counts after canonical rewrite —
+    the kg_pipeline_triples gate projection, derived WITHOUT running the
+    Spark engine (mirrors runner.run_kg_pipeline's triples stage:
+    extract_all → to_triples → rewrite_triples → dedup_triples).
+
+    The odds_ratio annotator emits one annotation per co-occurring ordered
+    pair whose two mention surfaces DIFFER case-insensitively: the
+    contingency table keys pairs by (least, greatest) of the lowercased
+    names with a STRICT n1 < n2 (extractors.pair_contingency), so a
+    same-surface pair ("braf ... BRAF") has no contingency row and the
+    inner join drops it. For surviving pairs `a >= 1` always holds (the
+    observing sentence contributes to `a`), and pred = annotator
+    (relation/predicate are NULL in its payload).
+    """
+    ed = fixtures.build_entity_dict(seed)
+    idx = build_dict_index(ed)
+    max_tokens = max(len(n.split(" ")) for n in ed["name"])
+    cmap = canonical_map_py(ed)
+    triples: set[tuple] = set()
+    for i in range(n_docs):
+        repo, path, commit, _lang, content = fixtures.gen_doc(seed, i)
+        doc_id = hashlib.sha256(f"{repo}\x00{path}\x00{commit}".encode()).hexdigest()[:16]
+        triples |= doc_triples(content, doc_id, idx, max_tokens)
+        by_sent: dict[int, list[dict]] = defaultdict(list)
+        for m in detect_mentions(content, idx, max_tokens):
+            by_sent[m["sent_idx"]].append(m)
+        for sent_idx, ms in by_sent.items():
+            for m1 in ms:
+                for m2 in ms:
+                    if m1["offset"] >= m2["offset"]:
+                        continue
+                    if m1["name"].lower() == m2["name"].lower():
+                        continue  # no strict n1<n2 contingency row
+                    triples.add(
+                        (
+                            m1["ids"][0], "odds_ratio", m2["ids"][0],
+                            "odds_ratio", doc_id, sent_idx,
+                        )
+                    )
+    deduped = {
+        (cmap.get(s, s), p, cmap.get(o, o), ann, d, si)
+        for (s, p, o, ann, d, si) in triples
+    }
+    counts: dict[str, int] = defaultdict(int)
+    for _s, _p, _o, ann, _d, _si in deduped:
+        counts[ann] += 1
+    return dict(counts)

@@ -77,6 +77,12 @@ def test_glof_prefilter_superset(spark):
         ("r", "b", "c2", "py", "shows loss of function, in assays"),
         ("r", "c", "c3", "py", "no relevant phrase in this one at all"),
         ("r", "d", "c4", "py", "gain ; of function split by punct token"),
+        # round-3 ADVICE regression: U+212A (Kelvin sign) trails 'gain';
+        # lower() maps it to ASCII 'k', which broke the old
+        # `[^0-9a-z_]+` joiner (separator became a word char). The token
+        # strips to core 'gain' so the trigram DOES match — the prefilter
+        # must keep this sentence.
+        ("r", "e", "c5", "py", "gain\u212a of function with kelvin punct"),
     ]
     src = fixtures.ingest(
         spark.createDataFrame(
@@ -87,9 +93,12 @@ def test_glof_prefilter_superset(spark):
     gd = fixtures.glof_dict_df(spark)
     gmax = max(len(t.split(" ")) for t, _ in fixtures.GLOF_TERMS)
     kept = M.glof_sentence_prefilter(sents, gd)
-    # doc 'c' filtered out; punctuation-adjacent docs survive; the
-    # punct-token doc 'd' passes the (superset) regex even though no
-    # candidate will come of it
+    # doc 'c' filtered out; punctuation-adjacent docs (a, b) and the
+    # kelvin-punct doc (e) survive; doc 'd' ("gain ; of") is dropped — the
+    # standalone punct token occupies a token position, so no n-gram can
+    # span it and the adjacency-encoding regex (exactly one space region
+    # between consecutive words) correctly rejects the sentence: still
+    # zero false negatives, better precision
     kept_paths = {r["doc_id"] for r in kept.collect()}
     assert len(kept_paths) == 3
     full = M.build_glof_mentions(sents, gd, gmax)
@@ -100,10 +109,13 @@ def test_glof_prefilter_superset(spark):
     unfiltered = M.resolve_overlaps(cands)
     assert sorted(map(key, full.collect())) == sorted(map(key, unfiltered.collect()))
     # the punct-split doc yields no candidate (position gap blocks the
-    # n-gram) yet passing it through the prefilter is harmless: exactly one
-    # 'gain of function' mention total (doc a), none from doc d
+    # n-gram); docs a and e each yield one 'gain of function' mention
+    # (doc e's trailing U+212A strips as edge punctuation)
     gof = [r for r in full.collect() if r["name"] == "gain of function"]
-    assert len(gof) == 1
+    assert len(gof) == 2
+    assert {r["doc_id"] for r in gof} == {
+        r["doc_id"] for r in sents.collect() if r["sentence"].startswith(("a clear", "gainK"))
+    }
 
 
 def test_glof_merge_matches_python_oracle(spark):
@@ -170,3 +182,52 @@ def test_mention_offsets_point_at_surface(spark):
     for m in ments.collect():
         sentence = sent_map[(m["doc_id"], m["sent_idx"])]
         assert sentence[m["offset"] : m["offset"] + len(m["name"])] == m["name"]
+
+
+def test_co_starting_span_construction_order(spark):
+    """Construction-order tie parity (round-3 VERDICT #5): the reference
+    sorts candidates with Python's STABLE sort on offset alone
+    (server.py:1296), so same-offset ties keep construction order — and
+    its enumerator builds candidates longest-first per start token
+    (kb_utils.py:828-834, `range(max, 0, -1)`). Two dictionary terms
+    starting at the same character must therefore resolve to the longer
+    (earlier-constructed) one, carried by enum_idx, not by an ad-hoc
+    length sort."""
+    import pandas as pd
+
+    ed_pdf = pd.DataFrame(
+        [
+            ("Gene", "G:1", "lung", 10),
+            ("Disease", "MESH:D1", "lung cancer", 5),
+            ("Disease", "MESH:D2", "cancer", 7),
+            # same span text under TWO types: the reference leaves this
+            # unordered (name_dict collapses by name); ours breaks the tie
+            # by type asc as a documented determinism guard
+            ("Chemical", "CHEM:9", "lung cancer", 3),
+        ],
+        columns=["type", "id", "name", "freq"],
+    )
+    ed = spark.createDataFrame(ed_pdf, schema=fixtures.schemas.ENTITY_DICT)
+    src = fixtures.ingest(
+        spark.createDataFrame(
+            [("r", "a", "c1", "py", "the lung cancer cohort")],
+            "repo string, path string, commit string, lang string, content string",
+        )
+    )
+    _, ments = M.build_mentions(src, ed)
+    got = [
+        (r["name"], r["type"], r["offset"], r["mention_idx"])
+        for r in ments.orderBy("offset").collect()
+    ]
+    # longer co-starting span wins (construction order: longest first);
+    # 'lung' (same offset, shorter → later construction) and 'cancer'
+    # (covered) are both dropped; between the two SAME-span typed rows the
+    # type-asc determinism guard keeps 'Chemical' (< 'Disease')
+    assert got == [("lung cancer", "Chemical", 4, 0)]
+
+    # Python oracle agrees on the same custom dictionary
+    idx = oracle.build_dict_index(ed_pdf)
+    exp = oracle.detect_mentions("the lung cancer cohort", idx, 2)
+    assert [(m["name"], m["type"], m["offset"], m["mention_idx"]) for m in exp] == [
+        ("lung cancer", "Chemical", 4, 0)
+    ]

@@ -113,17 +113,20 @@ def test_run_rel_summary_matches_selectors(small_kb):
         e1_spec=("type_name", ("Gene", "braf")),
         with_statistics=False,
     )
-    assert res.summary is not None and res.summary
-    expected = {}
+    assert res.summary is not None and res.summary["selected"]
+    expected = set()
+    used: list[str] = []
     orr = summary.select_odds_ratio(res.relations).collect()
     if orr:
-        expected["odds_ratio"] = (orr[0]["doc_id"], orr[0]["ann_id"])
-    cre = summary.select_cre(res.relations).collect()
+        expected.add(("odds_ratio", orr[0]["doc_id"], orr[0]["ann_id"]))
+        used.append(orr[0]["doc_id"])
+    cre = summary.select_cre(res.relations, used_pmids=used).collect()
     if cre:
-        expected["rbert_cre"] = (cre[0]["doc_id"], cre[0]["ann_id"])
-    for r in summary.select_ore(res.relations).collect():
-        expected[r["annotator"]] = (r["doc_id"], r["ann_id"])
-    got = {s["annotator"]: (s["doc_id"], s["ann_id"]) for s in res.summary}
+        expected.add(("rbert_cre", cre[0]["doc_id"], cre[0]["ann_id"]))
+        used.append(cre[0]["doc_id"])
+    for r in summary.select_ore(res.relations, used_pmids=used).collect():
+        expected.add((r["annotator"], r["doc_id"], r["ann_id"]))
+    got = {(s["annotator"], s["doc_id"], s["ann_id"]) for s in res.summary["selected"]}
     assert got == expected
 
 
@@ -136,13 +139,20 @@ def test_summary_page(small_kb):
         r.asDict()
         for r in rel.hydrate(page, hits, small_kb["annotations"], small_kb["sentences"]).collect()
     ]
-    out = summary.summarize_page(rows)
-    assert out, "summary should select at least one relation"
-    annots = {s["annotator"] for s in out}
+    out = summary.summarize_page(rows, e1_spec=("type_name", ("Gene", "braf")))
+    assert out["selected"], "summary should select at least one relation"
+    annots = {s["annotator"] for s in out["selected"]}
     assert annots <= {"odds_ratio", "rbert_cre", "spacy_ore", "openie_ore"}
     # deterministic
-    assert out == summary.summarize_page(rows)
-    for s in out:
-        assert s["text"]
-        for field, (a, b) in s["spans"].items():
-            assert 0 <= a <= b <= len(s["text"])
+    assert out == summary.summarize_page(rows, e1_spec=("type_name", ("Gene", "braf")))
+    # four reference passages, concatenated with rebased spans
+    assert [p["passage_type"] for p in out["passages"]] == [
+        "query", "odds_ratio", "cre", "ore",
+    ]
+    assert out["text"]
+    for key, span_list in out["term_to_span"].items():
+        for a, b in span_list:
+            assert 0 <= a <= b <= len(out["text"])
+    # every span indexes the term text it claims: spot-check the query term
+    for a, b in out["term_to_span"].get("query_entity", []):
+        assert out["text"][a:b] == "braf"
