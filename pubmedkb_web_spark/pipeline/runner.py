@@ -199,11 +199,22 @@ def run_kg_pipeline(
         config=src_cfg,
     )
 
+    # driver-side scalar computed ONCE per run, before any stage needs it
+    # (round-3 VERDICT #3: keep tiny dictionary jobs off stage critical
+    # paths — entity_dict is cached, this is one narrow aggregate)
+    from pyspark.sql import functions as F
+
+    dict_max_tokens = int(
+        entity_dict.agg(
+            F.max(F.size(F.split("name", " "))).alias("m")
+        ).collect()[0]["m"]
+    )
+
     sents_ments: dict[str, DataFrame] = {}
 
     def build_m1() -> tuple[DataFrame, DataFrame]:
         if "pair" not in sents_ments:
-            s, m = mentions.build_mentions(source, entity_dict)
+            s, m = mentions.build_mentions(source, entity_dict, max_tokens=dict_max_tokens)
             sents_ments["pair"] = (s, m)
         return sents_ments["pair"]
 
@@ -212,7 +223,15 @@ def run_kg_pipeline(
 
     annotations = pipe.stage(
         "annotations",
-        lambda: extractors.extract_all(mention_df, sentences),
+        # the committed sentences table is one row per (doc_id, sent_idx)
+        # by construction, so its lineage row_count IS the distinct
+        # sentence total — passing it removes a full distinct+count job
+        # over the sentence table from this stage's critical path
+        lambda: extractors.extract_all(
+            mention_df,
+            sentences,
+            n_sentences=pipe.results["sentences"].row_count,
+        ),
         upstream=["sentences", "mentions"],
     )
 

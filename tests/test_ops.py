@@ -202,3 +202,74 @@ def test_media_features_deterministic(spark):
     a = sorted(map(tuple, multimodal.extract_features(multimodal.synthetic_media(spark, 10), fake=True).drop("feat").collect()))
     b = sorted(map(tuple, multimodal.extract_features(multimodal.synthetic_media(spark, 10), fake=True).drop("feat").collect()))
     assert a == b
+
+
+def test_lsh_hot_bucket_star_fallback(spark):
+    """Round-3 VERDICT scale-hardening: 10k near-identical docs land in ONE
+    band bucket; the capped join must emit a star (O(n·bands) pairs — here
+    exactly n−1 after dedup since every band yields the same star), never
+    the O(n²) clique, and the hot buckets must be observable."""
+    n = 10_000
+    docs = spark.range(n).select(
+        F.concat(F.lit("d"), F.lpad(F.col("id").cast("string"), 6, "0")).alias("doc_id"),
+        F.lit("the exact same boilerplate sentence repeated across the crawl").alias("text"),
+    )
+    sh = dedup.shingles(docs)
+    sig = dedup.minhash_signatures(sh)
+    pairs = dedup.lsh_candidate_pairs(sig, max_bucket_size=100)
+    assert pairs.count() == n - 1  # star vs ~5·10^7 clique pairs
+    rep = "d000000"
+    rows = pairs.collect()
+    assert all(r["doc_a"] == rep for r in rows)  # min-id representative
+    assert {r["doc_b"] for r in rows} == {
+        f"d{i:06d}" for i in range(1, n)
+    }  # connectivity: every member reaches the rep
+    hot = dedup.lsh_hot_buckets(sig, max_bucket_size=100).collect()
+    assert len(hot) == 4 and all(r["bucket_size"] == n for r in hot)
+
+
+def test_lsh_cap_no_effect_below_threshold(spark):
+    """Sub-cap corpora must produce byte-identical candidate pairs with
+    and without the cap (the gate oracle relies on this)."""
+    rows = [
+        (f"a{i}", "alpha beta gamma delta epsilon zeta " + ("x" if i % 2 else "y"))
+        for i in range(20)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    sig = dedup.minhash_signatures(dedup.shingles(docs))
+    capped = sorted(map(tuple, dedup.lsh_candidate_pairs(sig, max_bucket_size=1024).collect()))
+    uncapped = sorted(map(tuple, dedup.lsh_candidate_pairs(sig, max_bucket_size=10**9).collect()))
+    assert capped == uncapped and capped
+
+
+def test_embedding_near_dup_hot_bucket_star(spark):
+    """Same star bound for the embedding near-dup bucket join."""
+    import pandas as pd
+
+    n = 2000
+    pdf = pd.DataFrame(
+        {"vec_id": list(range(n)), "embedding": [[1.0, 2.0, 3.0, 4.0]] * n}
+    )
+    emb = spark.createDataFrame(pdf)
+    out = similarity.embedding_near_duplicates(
+        emb, threshold=0.99, max_bucket_size=50
+    )
+    assert out.count() == n - 1  # identical vectors: star, all cos=1.0
+
+
+def test_ann_probe_cap_deterministic(spark):
+    """max_bucket_rows hash-samples hot probe buckets deterministically:
+    same query → same result; top-1 of an identical-vector cluster is
+    still an exact-cosine match."""
+    import pandas as pd
+
+    n = 3000
+    pdf = pd.DataFrame(
+        {"vec_id": list(range(n)), "embedding": [[0.5, 1.0, -0.25, 2.0]] * n}
+    )
+    emb = spark.createDataFrame(pdf)
+    q = [0.5, 1.0, -0.25, 2.0]
+    r1 = similarity.ann_bucketed_top_k(emb, q, top_k=5, max_bucket_rows=200).collect()
+    r2 = similarity.ann_bucketed_top_k(emb, q, top_k=5, max_bucket_rows=200).collect()
+    assert [tuple(r) for r in r1] == [tuple(r) for r in r2]
+    assert len(r1) == 5 and all(abs(r["cos_sim"] - 1.0) < 1e-6 for r in r1)
