@@ -237,11 +237,37 @@ def near_duplicates_minhash(
     id_col: str = "doc_id",
     text_col: str = "text",
     portable: bool = True,
+    work_dir: str | None = None,
 ) -> DataFrame:
     """Full near-dup pipeline: shingle → minhash → LSH candidates → exact
-    Jaccard verification ≥ threshold. Returns (doc_a, doc_b, jaccard)."""
+    Jaccard verification ≥ threshold. Returns (doc_a, doc_b, jaccard).
+
+    ``work_dir`` is the 100 TB path: the downstream plan consumes the
+    shingle relation twice (candidate join + Jaccard verify) and the
+    banded signature relation on several branches (clique sides, star
+    side, bucket sizes), and Catalyst does NOT reuse those subtrees
+    (no common exchange survives column pruning — measured: zero
+    ReusedExchange nodes), so the lazy plan recomputes the full
+    shingle+minhash pass per branch. Passing a directory MATERIALIZES the
+    shingle and signature tables to parquet once (an EAGER write at call
+    time, same contract as similarity.build_ann_index) and every branch
+    becomes a cheap pruned re-scan of a thin table instead of a
+    recomputation over the raw corpus. None keeps the fully lazy
+    single-plan behavior (fine at gate scale)."""
     sh = shingles(df, n_shingle, id_col, text_col)
-    sigs = minhash_signatures(sh, num_hashes, portable=portable)
+    if work_dir is not None:
+        import os
+
+        sh_path = os.path.join(work_dir, "shingles")
+        sig_path = os.path.join(work_dir, "signatures")
+        sh.write.mode("overwrite").parquet(sh_path)
+        sh = df.sparkSession.read.parquet(sh_path)
+        minhash_signatures(sh, num_hashes, portable=portable).write.mode(
+            "overwrite"
+        ).parquet(sig_path)
+        sigs = df.sparkSession.read.parquet(sig_path)
+    else:
+        sigs = minhash_signatures(sh, num_hashes, portable=portable)
     cands = lsh_candidate_pairs(sigs, bands, num_hashes // bands)
     return jaccard_pairs(sh, cands).filter(F.col("jaccard") >= threshold)
 

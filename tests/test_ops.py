@@ -273,3 +273,24 @@ def test_ann_probe_cap_deterministic(spark):
     r2 = similarity.ann_bucketed_top_k(emb, q, top_k=5, max_bucket_rows=200).collect()
     assert [tuple(r) for r in r1] == [tuple(r) for r in r2]
     assert len(r1) == 5 and all(abs(r["cos_sim"] - 1.0) < 1e-6 for r in r1)
+
+
+def test_near_dup_workdir_materialization(spark, tmp_path):
+    """work_dir materializes shingles+signatures once; results must be
+    byte-identical to the lazy plan and the parquet tables must exist."""
+    import os
+
+    rows = [
+        ("a1", "the quick brown fox jumps over the lazy dog again and again"),
+        ("a2", "the quick brown fox jumps over the lazy dog again and again!"),
+        ("b1", "completely unrelated content about spark shuffle partitioning"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    lazy = sorted(map(tuple, dedup.near_duplicates_minhash(docs, threshold=0.5).collect()))
+    wd = str(tmp_path / "nd")
+    mat = sorted(
+        map(tuple, dedup.near_duplicates_minhash(docs, threshold=0.5, work_dir=wd).collect())
+    )
+    assert lazy == mat and mat
+    assert os.path.isdir(os.path.join(wd, "shingles"))
+    assert os.path.isdir(os.path.join(wd, "signatures"))

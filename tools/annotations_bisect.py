@@ -49,7 +49,7 @@ def main() -> None:
     spark = build_session(
         cores=cores,
         shuffle_partitions=4 * cores,
-        driver_memory=f"{cores * 5 // 2}g",
+        driver_memory="20g",  # flat heap — the r3 lesson; cross-core comparability
         extra_conf=extra,
     )
 
@@ -77,6 +77,18 @@ def main() -> None:
     n = ann.count()
     rec["compute_count_s"] = round(time.time() - t0, 1)
     rec["ann_rows"] = n
+
+    # sub-bisect: the corpus contingency aggregation alone (the odds_ratio
+    # branch input — includes the salted pair-count shuffle and the two
+    # name-count broadcasts, excludes the pair explode and the write)
+    t0 = time.time()
+    extractors.pair_contingency(mentions, sentences).count()
+    rec["contingency_s"] = round(time.time() - t0, 1)
+
+    # sub-bisect: the mention-pair relation alone (self-join + sentence join)
+    t0 = time.time()
+    extractors.mention_pairs(mentions, sentences).count()
+    rec["pairs_s"] = round(time.time() - t0, 1)
 
     w1 = tempfile.mkdtemp(dir=base)
     t0 = time.time()
