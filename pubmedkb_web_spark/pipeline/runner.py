@@ -28,6 +28,27 @@ from . import canonicalize, extractors, materialize, mentions
 MARKER = "_graft_meta.json"
 
 
+def _module_source_bytes(name: str, loader, file_path: str | None) -> bytes:
+    """Source bytes for a module under ANY deployment: a plain checkout
+    (open the file), or a ``spark-submit --py-files`` zip, where
+    ``__file__`` is a path INSIDE the archive (``.../pkg.zip/pkg/mod.py``)
+    that ``open()`` rejects with NotADirectoryError — the loader's
+    ``get_source`` (zipimporter implements it) is the portable read. The
+    round-3 fallback opened ``__file__`` directly and crashed every
+    executor of a --py-files deployment (found by tools/submit_smoke.py)."""
+    if loader is not None and hasattr(loader, "get_source"):
+        try:
+            src = loader.get_source(name)
+            if src is not None:
+                return src.encode()
+        except (ImportError, OSError):
+            pass
+    if file_path:
+        with open(file_path, "rb") as f:
+            return f.read()
+    raise OSError(f"no source available for module {name}")
+
+
 def _compute_code_fingerprint() -> str:
     """Hash of the pipeline's own source modules. Mixed into every stage
     fingerprint so a checkpoint written by *older code* can never be read
@@ -43,12 +64,15 @@ def _compute_code_fingerprint() -> str:
     for mod in (_mn, _ex, _cn, _mt, _fx, _sc):
         try:
             h.update(inspect.getsource(mod).encode())
-        except OSError:  # zipped/py-files deployment: fall back to __file__ bytes
-            with open(mod.__file__, "rb") as f:
-                h.update(f.read())
-    # this module last (can't inspect itself during import on some loaders)
-    with open(__file__, "rb") as f:
-        h.update(f.read())
+        except (OSError, TypeError):
+            h.update(
+                _module_source_bytes(
+                    mod.__name__, getattr(mod, "__loader__", None), getattr(mod, "__file__", None)
+                )
+            )
+    # this module last (can't inspect itself during import on some loaders);
+    # __loader__ is set in the module globals while the body executes
+    h.update(_module_source_bytes(__name__, globals().get("__loader__"), __file__))
     return h.hexdigest()[:16]
 
 
