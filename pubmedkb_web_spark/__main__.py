@@ -52,8 +52,6 @@ def cmd_build(args) -> None:
 
 
 def cmd_query(args) -> None:
-    from pyspark.sql import functions as F
-
     from .query import rel, spec
     from .sources.tables import read_table
 

@@ -22,7 +22,6 @@ within (doc_id, sent_idx) — the only shuffle, keyed by sentence, uniform).
 from __future__ import annotations
 
 import math
-from typing import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame

@@ -151,7 +151,16 @@ class CheckpointedPipeline:
         config: dict | None = None,
         upstream: list[str] | None = None,
         partition_by: list[str] | None = None,
+        session_confs: dict[str, str] | None = None,
     ) -> DataFrame:
+        """``session_confs``: SQL confs set for THIS stage's execution and
+        restored afterwards. Stages run serially on the driver, so this is
+        race-free, and it is how heterogeneous stages coexist in one
+        session: the mentions window sort degrades superlinearly once
+        post-shuffle partitions grow past a few MB (3.2M docs, 8 cores:
+        391 s at 64 MB-ish partitions vs 110 s at 4 MB), while the
+        aggregation/write stages pay pure task overhead at 4 MB (tail wall
+        4× worse) — no single advisory size serves both."""
         config = config or {}
         upstream_fps = [self.results[u].fingerprint for u in (upstream or [])]
         fp = _fingerprint(name, config, upstream_fps)
@@ -172,11 +181,22 @@ class CheckpointedPipeline:
         import time
 
         t0 = time.time()
-        df = build()
-        writer = df.write.mode("overwrite")
-        if partition_by:
-            writer = writer.partitionBy(*partition_by)
-        writer.parquet(path)
+        saved: dict[str, str | None] = {}
+        for k, v in (session_confs or {}).items():
+            saved[k] = self.spark.conf.get(k, None)
+            self.spark.conf.set(k, v)
+        try:
+            df = build()
+            writer = df.write.mode("overwrite")
+            if partition_by:
+                writer = writer.partitionBy(*partition_by)
+            writer.parquet(path)
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    self.spark.conf.unset(k)
+                else:
+                    self.spark.conf.set(k, v)
         out = self.spark.read.parquet(path)
         parts = _partition_metrics(path)
         row_count = sum(p["rows"] for p in parts)
@@ -243,7 +263,27 @@ def run_kg_pipeline(
         return sents_ments["pair"]
 
     sentences = pipe.stage("sentences", lambda: build_m1()[0], upstream=["source"])
-    mention_df = pipe.stage("mentions", lambda: build_m1()[1], upstream=["source"])
+    # The n-gram window sort is the one stage whose cost is superlinear in
+    # post-shuffle partition size (3.2M docs / 8 cores: 391 s at session
+    # defaults vs 110 s with data-sized small partitions — the sort
+    # thrashes once a partition's token rows outgrow the execution-memory
+    # sweet spot). Scale its shuffle width with the SENTENCE count (known
+    # from the completed sentences stage's lineage) and pin a small AQE
+    # advisory so coalescing keeps sort partitions small; every other
+    # stage keeps the session's aggregation-friendly settings.
+    m_shuffle = max(
+        spark.sparkContext.defaultParallelism * 2,
+        pipe.results["sentences"].row_count // 50_000,
+    )
+    mention_df = pipe.stage(
+        "mentions",
+        lambda: build_m1()[1],
+        upstream=["source"],
+        session_confs={
+            "spark.sql.shuffle.partitions": str(m_shuffle),
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "4m",
+        },
+    )
 
     annotations = pipe.stage(
         "annotations",

@@ -95,3 +95,21 @@ def test_kg_gate_counts_pinned_vs_oracle_vs_engine(spark, tmp_path):
         for r in t["triples"].groupBy("annotator").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     assert got == pinned
+
+
+def test_stage_session_confs_apply_and_restore(spark, tmp_path):
+    """Per-stage session confs must be visible during the stage's build
+    and restored (or unset) afterwards — the mechanism behind the
+    mentions-stage partition sizing."""
+    pipe = runner.CheckpointedPipeline(spark, str(tmp_path), resume=False)
+    key = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+    before = spark.conf.get(key, None)
+    seen = {}
+
+    def build():
+        seen["during"] = spark.conf.get(key)
+        return spark.range(10).toDF("id")
+
+    pipe.stage("probe", build, session_confs={key: "4m"})
+    assert seen["during"] in ("4m", "4194304b", "4194304")
+    assert spark.conf.get(key, None) == before

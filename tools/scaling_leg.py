@@ -41,17 +41,32 @@ def main() -> None:
 
     tmpfs = os.environ.get("SPARK_GRAFT_SCALE_TMPFS", "1") == "1"
     base = "/dev/shm/spark_graft_scale" if tmpfs else None
+    # advisory sized for the corpus: 4m (the r2/r3 tuning for 200-400k
+    # docs) fragments every post-shuffle stage into thousands of tasks
+    # once the initial shuffle count is data-sized; 64m (Spark's default)
+    # lets AQE coalesce small stages while the big window sorts keep
+    # bounded partitions. Override with SPARK_GRAFT_ADVISORY.
+    advisory = os.environ.get("SPARK_GRAFT_ADVISORY", "64m" if n_docs >= 1000000 else "4m")
     extra = {
-        "spark.sql.files.maxPartitionBytes": "4m",
+        "spark.sql.files.maxPartitionBytes": "64m" if n_docs >= 1000000 else "4m",
         "spark.sql.files.openCostInBytes": "512k",
-        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "4m",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": advisory,
     }
     if base:
         os.makedirs(base, exist_ok=True)
         extra["spark.local.dir"] = os.path.join(base, "local")
+    # shuffle partitions sized by DATA, not cores: a fixed 4x-cores count
+    # lets per-partition sort volume grow with the corpus until the
+    # mentions window sort spills (measured at 3.2M docs: mentions 391 s
+    # at 8 cores vs 88-97 s at 1.6M — 4x time for 2x data). A cluster
+    # sets the initial count high and lets AQE coalesce to the advisory
+    # size; override with SPARK_GRAFT_SHUFFLE.
+    shuffle = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "0")) or max(
+        4 * int(cores), n_docs // 12500
+    )
     spark = build_session(
         cores=cores,
-        shuffle_partitions=4 * int(cores),
+        shuffle_partitions=shuffle,
         driver_memory="20g",
         extra_conf=extra,
     )
@@ -61,6 +76,7 @@ def main() -> None:
     n = tables["triples"].count()
     dt = time.time() - t0
     stages = {name: r.seconds for name, r in tables["_pipeline"].results.items()}
+    stage_parts = {name: len(r.partitions) for name, r in tables["_pipeline"].results.items()}
     rec = {
         "cores": int(cores),
         "n_docs": n_docs,
@@ -69,7 +85,10 @@ def main() -> None:
         "tps": round(n / dt, 1),
         "tmpfs": tmpfs,
         "heap_g": 20,
+        "shuffle_partitions": shuffle,
+        "advisory": advisory,
         "stages": stages,
+        "stage_partitions": stage_parts,
         "ts": round(time.time(), 1),
     }
     with open(OUT, "a") as f:
