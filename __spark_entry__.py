@@ -309,6 +309,38 @@ def q_lsh_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.jaccard_pairs(sh, cands)
 
 
+def _hot_lsh_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived corpus with guaranteed hot LSH buckets: the sf0.01 documents
+    table has no duplicate texts, so replicate doc_id<20 — every 5th doc
+    ×12 copies (> cap 8 → star fallback), the rest ×3 (≤ cap → clique).
+    Identical texts share every band bucket, so the ×12 groups exceed the
+    cap in ALL bands. Same derivation in the DuckDB oracle."""
+    base = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    reps = F.when(F.col("doc_id") % 5 == 0, F.lit(12)).otherwise(F.lit(3))
+    return base.select(
+        "doc_id", "text", F.explode(F.sequence(F.lit(0), reps - 1)).alias("r")
+    ).select((F.col("doc_id") * 100 + F.col("r")).cast("long").alias("doc_id"), "text")
+
+
+def q_lsh_star_fallback_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate for the hot-bucket star fallback (round-4 VERDICT #8: the
+    lsh_near_dup_pairs gate corpus never exceeds the cap, so the star
+    branch was pytest-only). Cap 8 forces the ×12 buckets onto the star
+    path while the ×3 buckets stay on the clique path — one gate, both
+    branches, hash-matched against the oracle's explicit star/clique SQL."""
+    corpus = _hot_lsh_corpus(spark, sf_dir)
+    sigs = dedup.minhash_signatures(dedup.shingles(corpus, 3), 8)
+    return dedup.lsh_candidate_pairs(sigs, 4, 2, max_bucket_size=8)
+
+
+def q_lsh_hot_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Observability half of the cap (drop-with-log): which band buckets
+    exceeded max_bucket_size, with sizes."""
+    corpus = _hot_lsh_corpus(spark, sf_dir)
+    sigs = dedup.minhash_signatures(dedup.shingles(corpus, 3), 8)
+    return dedup.lsh_hot_buckets(sigs, 4, 2, max_bucket_size=8)
+
+
 def q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     return dedup.simhash(docs, 16)
@@ -868,6 +900,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup_docs": q_exact_dedup_docs,
         "minhash_signatures": q_minhash_signatures,
         "lsh_near_dup_pairs": q_lsh_near_dup_pairs,
+        "lsh_star_fallback_pairs": q_lsh_star_fallback_pairs,
+        "lsh_hot_buckets": q_lsh_hot_buckets,
         "simhash_docs": q_simhash_docs,
         "cosine_topk": q_cosine_topk,
         "bm25_docs": q_bm25_docs,
@@ -911,15 +945,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # oracles
 # --------------------------------------------------------------------------
 
-def _minhash_sql(limit: int, terms: str) -> str:
+def _minhash_corpus_sql(corpus_sql: str, terms: str) -> str:
+    """Shared shingle→minhash CTE chain over an arbitrary (doc_id, text)
+    corpus subquery — used by the documents-slice gates and the derived
+    hot-bucket corpus gate."""
     mins = ",\n    ".join(
         f"min((h * {affine_params(i)[0]} + {affine_params(i)[1]}) % {M31}) AS mh{i}"
         for i in range(8)
     )
     return f"""
-WITH toks AS (
+WITH corpus AS ({corpus_sql}),
+toks AS (
   SELECT doc_id, unnest({TOKS_SQL}) AS tok, generate_subscripts({TOKS_SQL}, 1) AS ord
-  FROM documents WHERE doc_id < {limit}
+  FROM corpus
 ),
 sh AS (
   SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS shingle
@@ -930,6 +968,22 @@ sh AS (
 h AS (SELECT doc_id, {MD5_SQL.format(x='shingle')} % {M31} AS h FROM sh),
 m AS (SELECT doc_id, {mins} FROM h GROUP BY doc_id)
 {terms}"""
+
+
+def _minhash_sql(limit: int, terms: str) -> str:
+    return _minhash_corpus_sql(
+        f"SELECT doc_id, text FROM documents WHERE doc_id < {limit}", terms
+    )
+
+
+# derived corpus with guaranteed hot buckets (see _hot_lsh_corpus): every
+# 5th doc of doc_id<20 replicated x12 (> cap 8), the rest x3
+_HOT_CORPUS_SQL = """
+SELECT d.doc_id * 100 + r.range AS doc_id, d.text
+FROM documents d, range(12) r
+WHERE d.doc_id < 20
+  AND r.range < (CASE WHEN d.doc_id % 5 = 0 THEN 12 ELSE 3 END)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1151,6 +1205,39 @@ SELECT i.doc_a, i.doc_b,
 FROM inter i JOIN sz za ON za.doc_id = i.doc_a JOIN sz zb ON zb.doc_id = i.doc_b
 """,
     )
+
+    # star-fallback gate: per band, buckets of size <= 8 contribute the
+    # full clique, buckets > 8 contribute (min-id rep, member) star edges
+    # only — the exact semantics of lsh_candidate_pairs(max_bucket_size=8)
+    star_terms = []
+    for i in range(4):
+        k1, k2 = f"mh{2 * i}", f"mh{2 * i + 1}"
+        star_terms.append(f"""
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM m a
+JOIN m b ON a.{k1} = b.{k1} AND a.{k2} = b.{k2} AND a.doc_id < b.doc_id
+JOIN (SELECT {k1} AS k1, {k2} AS k2, count(*) AS n FROM m GROUP BY 1, 2) z
+  ON z.k1 = a.{k1} AND z.k2 = a.{k2}
+WHERE z.n <= 8
+UNION
+SELECT z.rep AS doc_a, mm.doc_id AS doc_b
+FROM m mm
+JOIN (SELECT {k1} AS k1, {k2} AS k2, count(*) AS n, min(doc_id) AS rep
+      FROM m GROUP BY 1, 2) z
+  ON z.k1 = mm.{k1} AND z.k2 = mm.{k2}
+WHERE z.n > 8 AND mm.doc_id <> z.rep""")
+    sql["lsh_star_fallback_pairs"] = _minhash_corpus_sql(
+        _HOT_CORPUS_SQL, "\nUNION\n".join(star_terms)
+    )
+
+    hot_terms = " UNION ALL ".join(
+        f"SELECT {i} AS band_idx, "
+        f"mh{2 * i}::VARCHAR || '_' || mh{2 * i + 1}::VARCHAR AS band_key, "
+        f"count(*) AS bucket_size "
+        f"FROM m GROUP BY mh{2 * i}, mh{2 * i + 1} HAVING count(*) > 8"
+        for i in range(4)
+    )
+    sql["lsh_hot_buckets"] = _minhash_corpus_sql(_HOT_CORPUS_SQL, hot_terms)
 
     sql["simhash_docs"] = f"""
 WITH toks AS (

@@ -100,7 +100,7 @@ def lsh_candidate_pairs(
     signatures: DataFrame,
     bands: int = 4,
     rows_per_band: int = 2,
-    max_bucket_size: int = 1024,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Band the signature, bucket-join within (band_idx, band_key):
     (doc_a, doc_b) with doc_a < doc_b, distinct.
@@ -122,6 +122,15 @@ def lsh_candidate_pairs(
     sub-cap band bucket the pair shares. The size computation is a groupBy
     on the same key as the join, so AQE co-locates it with no extra wide
     shuffle.
+
+    The cap is OPT-IN here (default ``None``) because this function's
+    public contract is the PAIR level: capping changes which pairs are
+    emitted (member–member pairs inside a hot bucket become star edges),
+    so existing callers must ask for it explicitly (round-4 ADVICE).
+    ``None`` also skips the bucket-size pass entirely — no extra
+    aggregation on unskewed corpora. The scale pipeline
+    (:func:`near_duplicates_minhash`) passes a cap by default and
+    documents the recall trade in ITS contract.
     """
     assert bands * rows_per_band <= 64
     banded = signatures.select(
@@ -142,6 +151,15 @@ def lsh_candidate_pairs(
             )
         ).alias("band"),
     ).select("doc_id", "band.band_idx", "band.band_key")
+    if max_bucket_size is None:
+        a = banded.select("band_idx", "band_key", F.col("doc_id").alias("doc_a"))
+        b = banded.select("band_idx", "band_key", F.col("doc_id").alias("doc_b"))
+        return (
+            a.join(b, ["band_idx", "band_key"])
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+            .distinct()
+        )
     sizes = banded.groupBy("band_idx", "band_key").agg(
         F.count(F.lit(1)).alias("_bsz"), F.min("doc_id").alias("_rep")
     )
@@ -238,9 +256,20 @@ def near_duplicates_minhash(
     text_col: str = "text",
     portable: bool = True,
     work_dir: str | None = None,
+    max_bucket_size: int | None = 1024,
 ) -> DataFrame:
     """Full near-dup pipeline: shingle → minhash → LSH candidates → exact
     Jaccard verification ≥ threshold. Returns (doc_a, doc_b, jaccard).
+
+    PAIR-RECALL CONTRACT: ``max_bucket_size`` (default 1024 — ON, this is
+    the 100 TB scale path) star-collapses LSH buckets above the cap, so
+    inside a hot bucket only representative–member pairs are verified; a
+    member–member pair whose mutual Jaccard clears the threshold while
+    its rep–member similarity does not can be MISSING from the returned
+    pairs (cluster connectivity is still preserved — for dedup clustering
+    the star spans the same component). Pass ``None`` for the exact,
+    quadratic-risk behavior. Use :func:`lsh_hot_buckets` (same bands/cap)
+    to see which buckets the cap fired on.
 
     ``work_dir`` is the 100 TB path: the downstream plan consumes the
     shingle relation twice (candidate join + Jaccard verify) and the
@@ -268,7 +297,9 @@ def near_duplicates_minhash(
         sigs = df.sparkSession.read.parquet(sig_path)
     else:
         sigs = minhash_signatures(sh, num_hashes, portable=portable)
-    cands = lsh_candidate_pairs(sigs, bands, num_hashes // bands)
+    cands = lsh_candidate_pairs(
+        sigs, bands, num_hashes // bands, max_bucket_size=max_bucket_size
+    )
     return jaccard_pairs(sh, cands).filter(F.col("jaccard") >= threshold)
 
 

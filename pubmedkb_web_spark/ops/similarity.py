@@ -129,9 +129,12 @@ def ann_bucketed_top_k(
     probed = bucketed.filter(F.col("_sig").isin(probe))
     if max_bucket_rows is not None:
         sizes = probed.groupBy("_sig").agg(F.count(F.lit(1)).alias("_bsz"))
+        # widen BEFORE multiplying: IntegerType lit(cap)*1e6 overflows under
+        # ANSI mode for any cap >= 2148 at constant folding (round-4 ADVICE)
         keep_ppm = F.least(
-            F.lit(1_000_000),
-            (F.lit(max_bucket_rows) * 1_000_000 / F.col("_bsz")).cast("long"),
+            F.lit(1_000_000).cast("long"),
+            (F.lit(max_bucket_rows).cast("long") * F.lit(1_000_000) / F.col("_bsz"))
+            .cast("long"),
         )
         probed = (
             probed.join(F.broadcast(sizes), "_sig")

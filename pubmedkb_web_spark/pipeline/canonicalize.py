@@ -121,6 +121,18 @@ def connected_components(
             if cur == prev:
                 break
             prev = cur
+        else:
+            # Exhausting max_iter without an edge-set fixpoint means the
+            # map below could carry MULTIPLE conflicting canonical_ids per
+            # node (non-star residual edges) — silent corruption feeding
+            # the dedup/rewrite stages (round-4 ADVICE). Fail loudly; the
+            # alternating algorithm converges in O(log n) rounds, so
+            # hitting this means a pathological input or a too-small
+            # max_iter, both of which the caller must see.
+            raise RuntimeError(
+                f"connected_components did not reach the edge-set fixpoint "
+                f"in max_iter={max_iter} rounds; raise max_iter"
+            )
     roots = e.select(F.col("src").alias("id"), F.col("dst").alias("canonical_id"))
     return nodes.select("id").distinct().join(roots, "id", "left").select(
         "id", F.coalesce("canonical_id", "id").alias("canonical_id")

@@ -227,8 +227,21 @@ def run_kg_pipeline(
     entity_dict: DataFrame | None = None,
     seed: int = fixtures.SEED,
     resume: bool = True,
+    with_dedup: bool = False,
+    with_ann_index: bool = False,
 ) -> dict[str, DataFrame]:
-    """Full M0→M4 build. Returns the materialized DataFrames by name."""
+    """Full M0→M4 build. Returns the materialized DataFrames by name.
+
+    ``with_dedup`` adds a ``near_dup_pairs`` stage (MinHash+LSH over the
+    source corpus, shingle/signature relations materialized under
+    ``out_dir/near_dup_work``, hot buckets star-collapsed at 1024) and
+    ``with_ann_index`` adds an ``ann_index`` stage (deterministic text
+    embedding + hyperplane signature, written parquet-PARTITIONED by
+    ``_sig`` so probe filters prune partitions — the same layout
+    ops.similarity.build_ann_index produces). Both are OPTIONAL tail
+    stages with the same fingerprint-resume contract as every other
+    stage; they read only the completed source stage, so enabling them
+    never changes the core tables' counts (round-4 VERDICT #7)."""
     pipe = CheckpointedPipeline(spark, out_dir, resume=resume)
     if entity_dict is None:
         entity_dict = fixtures.entity_dict_df(spark, seed)
@@ -363,13 +376,67 @@ def run_kg_pipeline(
             upstream=["sentences", "mentions"],
             config={"terms": sorted(t for t, _ in fixtures.GLOF_TERMS)},
         )
+        f_dedup = f_ann = None
+        if with_dedup:
+            from ..ops import dedup as dedup_ops
+
+            dedup_cfg = {
+                "threshold": 0.7, "n_shingle": 3, "num_hashes": 8,
+                "bands": 4, "max_bucket_size": 1024,
+            }
+
+            def build_dedup() -> DataFrame:
+                # xxhash64 (portable=False) is the lock-free scale path;
+                # shingle/signature relations materialize ONCE under the
+                # pipeline root so the candidate/verify branches re-scan
+                # thin tables instead of recomputing the corpus pass
+                return dedup_ops.near_duplicates_minhash(
+                    source,
+                    threshold=dedup_cfg["threshold"],
+                    id_col="doc_id",
+                    text_col="content",
+                    portable=False,
+                    work_dir=os.path.join(out_dir, "near_dup_work"),
+                    max_bucket_size=dedup_cfg["max_bucket_size"],
+                )
+
+            f_dedup = ex.submit(
+                pipe.stage, "near_dup_pairs", build_dedup,
+                upstream=["source"], config=dedup_cfg,
+            )
+        if with_ann_index:
+            from ..ops import similarity as sim_ops
+
+            ann_cfg = {"dim": 16, "n_planes": 8}
+
+            def build_ann() -> DataFrame:
+                emb = sim_ops.embed_text(
+                    source, text_col="content", id_col="doc_id",
+                    dim=ann_cfg["dim"], portable=False,
+                )
+                return emb.withColumn(
+                    "_sig",
+                    sim_ops.hyperplane_signature(
+                        F.col("embedding"), ann_cfg["dim"], ann_cfg["n_planes"]
+                    ),
+                )
+
+            # partition_by=["_sig"] gives the stage parquet the exact
+            # partition-pruned layout build_ann_index writes: probe-set
+            # filters touch only the probed buckets' directories
+            f_ann = ex.submit(
+                pipe.stage, "ann_index", build_ann,
+                upstream=["source"], config=ann_cfg, partition_by=["_sig"],
+            )
         glof = f_glof.result()
         postings = f_postings.result()
         pair_stats = f_pair.result()
         chem_disease = f_chem.result()
         cgd_paths = f_cgd.result()
         meta = f_meta.result()
-    return {
+        near_dup = f_dedup.result() if f_dedup is not None else None
+        ann_index = f_ann.result() if f_ann is not None else None
+    out = {
         "source": source,
         "sentences": sentences,
         "mentions": mention_df,
@@ -384,3 +451,8 @@ def run_kg_pipeline(
         "meta": meta,
         "_pipeline": pipe,  # type: ignore[dict-item]
     }
+    if near_dup is not None:
+        out["near_dup_pairs"] = near_dup
+    if ann_index is not None:
+        out["ann_index"] = ann_index
+    return out

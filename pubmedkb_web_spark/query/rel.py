@@ -194,7 +194,18 @@ def statistics(hits: DataFrame, annotations: DataFrame) -> dict:
         )
         .collect()
     )
-    overall = next(r for r in rows if r["is_total"] == 1)
+    # Spark 4's groupingSets returns ZERO rows on empty input (a plain
+    # global agg would return one zeros row), so a no-match query must fall
+    # back to the reference's zero counts (server.py:895-921) instead of
+    # crashing on a missing grand-total row.
+    overall = next((r for r in rows if r["is_total"] == 1), None)
+    if overall is None:
+        return {
+            "papers": 0,
+            "sentences": 0,
+            "relations": 0,
+            "relations_by_annotator": {},
+        }
     per_annotator = {
         r["annotator"]: r["relations"] for r in rows if r["is_total"] == 0
     }
@@ -225,21 +236,36 @@ def run_rel(
     else:
         hits = spec_mod.evaluate_pair(postings, e1_spec, e2_spec, pmid)
     hits = hits.cache()  # reused by scores, hydration and statistics
-    scores = paper_scores(hits)
-    page = sorted_page(scores, meta, sort_key, page_start, page_end)
-    relations = hydrate(page, hits, annotations, sentences)
-    stats = statistics(hits, annotations) if with_statistics else {}
+    try:
+        spark = hits.sparkSession
+        scores = paper_scores(hits)
+        page = sorted_page(scores, meta, sort_key, page_start, page_end)
+        relations = hydrate(page, hits, annotations, sentences)
+        # Materialize the (≤ page-sized) results while the cache is hot,
+        # then release it in the finally: a long-lived session issuing many
+        # rel queries must not accumulate cached posting relations (same
+        # leak ranked_slice fixed in round 3). The reference renders every
+        # page it returns (server.py:665-745), so the eager page collect is
+        # the honest cost model, not an added one.
+        page_rows = page.collect()
+        rel_rows = relations.collect()
+        papers_df = spark.createDataFrame(page_rows, page.schema)
+        relations_df = spark.createDataFrame(rel_rows, relations.schema)
+        stats = statistics(hits, annotations) if with_statistics else {}
+    finally:
+        hits.unpersist()
     summary = None
     if with_summary:
         # the reference returns the NLG summary with every /query_rel page
-        # (server.py:924-958); it inspects ≤ one page of hydrated rows, so
-        # collecting the page is the honest cost model
+        # (server.py:924-958); it inspects ≤ one page of hydrated rows
         from . import summary as summary_mod
 
         summary = summary_mod.summarize_page(
-            [r.asDict() for r in relations.collect()],
+            [r.asDict() for r in rel_rows],
             e1_spec=e1_spec,
             e2_spec=e2_spec,
             pmid=pmid,
         )
-    return RelResult(papers=page, relations=relations, statistics=stats, summary=summary)
+    return RelResult(
+        papers=papers_df, relations=relations_df, statistics=stats, summary=summary
+    )

@@ -116,31 +116,52 @@ def select_ore(
     used_pmids: list[str] | None = None,
 ) -> DataFrame:
     """≤2 ORE rows per the reference's fill-down scheme
-    (summary_utils.py:731-750): spaCy gets top_k=2 predicates by (support
-    desc, first-appearance order); OpenIE fills the REMAINDER (2 − #spacy)
-    excluding predicates already selected. Each predicate is represented
-    by its first evidence row, preferring pmids not already used
-    (summary_utils.py:722-729)."""
-    spacy_top = (
-        predicate_support(relations, "spacy_ore")
-        .orderBy(F.col("support").desc(), F.col("first_ref").asc())
-        .limit(max_relations)
-    )
-    # driver-side: the chosen predicates are ≤max_relations rows; the
-    # reference's representative choice is inherently SEQUENTIAL (each
+    (summary_utils.py:731-750): spaCy gets top_k=2 predicates, OpenIE
+    fills the REMAINDER (2 − #spacy) excluding predicates already
+    selected. Each predicate is represented by its first evidence row,
+    preferring pmids not already used (summary_utils.py:722-729).
+
+    Predicate ordering mirrors the reference EXACTLY: it reorders by
+    (support desc, first-appearance asc) ONLY when the candidate count
+    exceeds the quota (summary_utils.py:698-717 — the trimming heap);
+    when everything fits, first-encounter (dict-insertion) order is kept.
+    The engine's page-order stand-in is (doc_id, ann_id) asc, so
+    ``first_ref`` = min struct(doc_id, ann_id) IS the encounter key."""
+
+    def _top_predicates(annotator: str, top_k: int, exclude: set[str]) -> list[str]:
+        # driver-side: candidate predicates are page-scale (one tiny
+        # aggregate); the conditional reorder is the reference's
+        # len > top_k branch, inexpressible as a single orderBy
+        if top_k <= 0:
+            return []
+        rows = [
+            r
+            for r in predicate_support(relations, annotator).collect()
+            if r["predicate"] not in exclude
+        ]
+        rows.sort(key=lambda r: (r["first_ref"]["doc_id"], r["first_ref"]["ann_id"]))
+        if len(rows) > top_k:
+            rows = sorted(
+                rows,
+                key=lambda r: (
+                    -r["support"],
+                    (r["first_ref"]["doc_id"], r["first_ref"]["ann_id"]),
+                ),
+            )[:top_k]
+        return [r["predicate"] for r in rows]
+
+    # the reference's representative choice is inherently SEQUENTIAL (each
     # pick adds its pmid to the preference set before the next predicate
     # is resolved, summary_utils.py:722-729), so resolve them in a driver
     # loop of ≤max_relations tiny jobs over the page-scale relation set.
-    chosen = [("spacy_ore", r["predicate"]) for r in spacy_top.collect()]
-    remaining = max_relations - len(chosen)
-    if remaining > 0:
-        openie_top = (
-            predicate_support(relations, "openie_ore")
-            .join(spacy_top.select("predicate"), "predicate", "left_anti")
-            .orderBy(F.col("support").desc(), F.col("first_ref").asc())
-            .limit(remaining)
+    spacy_preds = _top_predicates("spacy_ore", max_relations, set())
+    chosen = [("spacy_ore", p) for p in spacy_preds]
+    chosen += [
+        ("openie_ore", p)
+        for p in _top_predicates(
+            "openie_ore", max_relations - len(chosen), set(spacy_preds)
         )
-        chosen += [("openie_ore", r["predicate"]) for r in openie_top.collect()]
+    ]
     used = list(used_pmids or [])
     picked = []
     for annot, pred in chosen:
@@ -713,27 +734,37 @@ def summarize_page(
     for annot in ("spacy_ore", "openie_ore"):
         if quota <= 0:
             break
-        rows = [r for r in page_rows if r["annotator"] == annot and r.get("predicate")]
-        support: dict[str, int] = {}
-        first_ref: dict[str, tuple] = {}
+        # encounter order = (doc_id, ann_id) asc, the engine's documented
+        # page-order stand-in; the reference iterates papers in page order
+        rows = sorted(
+            (r for r in page_rows if r["annotator"] == annot and r.get("predicate")),
+            key=lambda r: (r["doc_id"], r["ann_id"]),
+        )
+        pred_rows: dict[str, list] = {}
         for r in rows:
-            p = r["predicate"]
-            support[p] = support.get(p, 0) + 1
-            ref = (r["doc_id"], r["ann_id"])
-            if p not in first_ref or ref < first_ref[p]:
-                first_ref[p] = ref
-        cands = sorted(
-            (p for p in support if p not in seen_preds),
-            key=lambda p: (-support[p], first_ref[p]),
-        )[:quota]
+            if r["predicate"] not in seen_preds:
+                pred_rows.setdefault(r["predicate"], []).append(r)
+        # the reference reorders by support ONLY when it must trim
+        # (summary_utils.py:698-717); under the quota, first-encounter
+        # (dict-insertion) order is kept — round-4 ADVICE parity fix
+        if len(pred_rows) > quota:
+            first_idx = {p: i for i, p in enumerate(pred_rows)}
+            cands = sorted(pred_rows, key=lambda p: (-len(pred_rows[p]), first_idx[p]))[
+                :quota
+            ]
+        else:
+            cands = list(pred_rows)
         for pred in cands:
             seen_preds.add(pred)
-            # first evidence row, preferring a not-yet-selected pmid (722-729)
-            best = min(
-                (r for r in rows if r["predicate"] == pred),
-                key=lambda r: (r["doc_id"] in selected_pmids, r["doc_id"], r["ann_id"]),
-            )
-            selected_pmids.add(best["doc_id"])
+            # first evidence row with a not-yet-selected pmid; ALL pmids
+            # already used falls back to the first row (722-732)
+            for r in pred_rows[pred]:
+                if r["doc_id"] not in selected_pmids:
+                    selected_pmids.add(r["doc_id"])
+                    best = r
+                    break
+            else:
+                best = pred_rows[pred][0]
             ore_picks.append(best)
         quota -= len(cands)
 

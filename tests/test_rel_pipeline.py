@@ -156,3 +156,41 @@ def test_summary_page(small_kb):
     # every span indexes the term text it claims: spot-check the query term
     for a, b in out["term_to_span"].get("query_entity", []):
         assert out["text"][a:b] == "braf"
+
+
+def test_run_rel_empty_hits_zero_statistics(small_kb):
+    """A no-match query returns the reference's zero counts
+    (server.py:895-921) instead of crashing: Spark 4's groupingSets
+    yields ZERO rows on empty input, so the grand-total row can be
+    absent (round-4 ADVICE high)."""
+    res = rel.run_rel(
+        small_kb["entity_postings"],
+        small_kb["annotations"],
+        small_kb["sentences"],
+        small_kb["meta"],
+        e1_spec=("type_id", ("Gene", "NO_SUCH_ENTITY_XYZ")),
+    )
+    assert res.papers.count() == 0
+    assert res.relations.count() == 0
+    assert res.statistics == {
+        "papers": 0,
+        "sentences": 0,
+        "relations": 0,
+        "relations_by_annotator": {},
+    }
+
+
+def test_run_rel_releases_hits_cache(small_kb, spark):
+    """Repeated rel queries in a long-lived session must not accumulate
+    cached posting relations (round-4 VERDICT 'What's missing' #4)."""
+    before = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    for _ in range(2):
+        rel.run_rel(
+            small_kb["entity_postings"],
+            small_kb["annotations"],
+            small_kb["sentences"],
+            small_kb["meta"],
+            e1_spec=("type_name", ("Gene", "braf")),
+        )
+    after = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    assert after == before

@@ -403,3 +403,93 @@ def test_every_template_pool_fills_cleanly():
             for k, sl in spans.items():
                 for a, b in sl:
                     assert text[a:b] == f"<{k}>"
+
+
+def _ore_row(annot, pred, doc, ann):
+    return {
+        "annotator": annot, "predicate": pred, "doc_id": doc, "ann_id": ann,
+        "subject": "s", "object": "o",
+    }
+
+
+def test_ore_keeps_encounter_order_under_quota():
+    """Round-4 ADVICE medium: the reference reorders predicates by support
+    ONLY when the candidate count exceeds top_k (summary_utils.py:698-717);
+    with ≤2 spaCy predicates it keeps first-encounter (dict-insertion)
+    order. Fixture: the LOWER-support predicate appears first — it must
+    stay first in the rendered ore_2 passage."""
+    rows = [
+        _ore_row("spacy_ore", "binds", "p1", "a1"),      # support 1, first
+        _ore_row("spacy_ore", "inhibits", "p1", "a2"),   # support 3, later
+        _ore_row("spacy_ore", "inhibits", "p2", "a1"),
+        _ore_row("spacy_ore", "inhibits", "p3", "a1"),
+    ]
+    out = S.summarize_page(rows, e1_spec=("type_name", ("Gene", "braf")))
+    ore = next(p for p in out["passages"] if p["passage_type"] == "ore")
+    got = [(r["doc_id"], r["ann_id"]) for r in ore["relations"]]
+    # binds first (its only row), then inhibits preferring a fresh pmid
+    assert got == [("p1", "a1"), ("p2", "a1")]
+
+
+def test_ore_sorts_by_support_only_when_trimming():
+    """Three candidates against quota 2 → reference trims by (support
+    desc, encounter asc); the lowest-support first-encountered predicate
+    is dropped."""
+    rows = [
+        _ore_row("spacy_ore", "binds", "p1", "a1"),      # support 1
+        _ore_row("spacy_ore", "inhibits", "p1", "a2"),   # support 3
+        _ore_row("spacy_ore", "inhibits", "p2", "a1"),
+        _ore_row("spacy_ore", "inhibits", "p3", "a1"),
+        _ore_row("spacy_ore", "activates", "p4", "a1"),  # support 2
+        _ore_row("spacy_ore", "activates", "p5", "a1"),
+    ]
+    out = S.summarize_page(rows, e1_spec=("type_name", ("Gene", "braf")))
+    ore = next(p for p in out["passages"] if p["passage_type"] == "ore")
+    got = [(r["doc_id"], r["ann_id"]) for r in ore["relations"]]
+    # inhibits (support 3, fresh p1) then activates (support 2, fresh p4)
+    assert got == [("p1", "a2"), ("p4", "a1")]
+
+
+def test_ore_all_pmids_used_falls_back_to_first_row():
+    """summary_utils.py:730-732: when every evidence pmid is already in
+    the selected set, the predicate still gets its FIRST row."""
+    rows = [
+        # an odds_ratio row selects p1 first
+        {
+            "annotator": "odds_ratio", "doc_id": "p1", "ann_id": "z1",
+            "or_value": "2.0", "ci": "1-3", "p_value": "0.01",
+            "head_name": "v", "tail_name": "d", "sentence": "s",
+        },
+        _ore_row("spacy_ore", "binds", "p1", "a7"),
+        _ore_row("spacy_ore", "binds", "p1", "a9"),
+    ]
+    out = S.summarize_page(rows, e1_spec=("type_name", ("Gene", "braf")))
+    ore = next(p for p in out["passages"] if p["passage_type"] == "ore")
+    got = [(r["doc_id"], r["ann_id"]) for r in ore["relations"]]
+    assert got == [("p1", "a7")]
+
+
+def test_select_ore_dataframe_matches_encounter_semantics(spark):
+    """The DataFrame selector must follow the same conditional ordering
+    as the driver-side replica."""
+    schema = "annotator string, predicate string, doc_id string, ann_id string, subject string, object string"
+    rows = [
+        ("spacy_ore", "binds", "p1", "a1", "s", "o"),
+        ("spacy_ore", "inhibits", "p1", "a2", "s", "o"),
+        ("spacy_ore", "inhibits", "p2", "a1", "s", "o"),
+        ("spacy_ore", "inhibits", "p3", "a1", "s", "o"),
+    ]
+    df = spark.createDataFrame(rows, schema)
+    picked = [(r["doc_id"], r["ann_id"]) for r in S.select_ore(df).collect()]
+    assert picked == [("p1", "a1"), ("p2", "a1")]
+    # and with a third predicate the trim reorders by support
+    df3 = spark.createDataFrame(
+        rows
+        + [
+            ("spacy_ore", "activates", "p4", "a1", "s", "o"),
+            ("spacy_ore", "activates", "p5", "a1", "s", "o"),
+        ],
+        schema,
+    )
+    picked3 = [(r["doc_id"], r["ann_id"]) for r in S.select_ore(df3).collect()]
+    assert picked3 == [("p1", "a2"), ("p4", "a1")]
