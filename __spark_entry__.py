@@ -24,7 +24,9 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 from pubmedkb_web_spark import fixtures
+from pubmedkb_web_spark.functions import htmlrender
 from pubmedkb_web_spark.functions.hashing import MERSENNE31, affine_params, md5_int60
+from pubmedkb_web_spark.sources import litvar
 from pubmedkb_web_spark.ops import dedup, multimodal, similarity, textstats
 from pubmedkb_web_spark.pipeline import extractors, materialize, runner
 from pubmedkb_web_spark.query import graph, nen, rel, retrieval, spec, varsum
@@ -874,6 +876,113 @@ def q_kg_extractor_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_html_escape_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7 (html.escape parity, kb_utils.py:1834-1868 et al.): wrap a
+    documents slice in markup-hostile text and escape it JVM-side."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 17 == 0)
+    nasty = F.concat(
+        F.lit('<b href="'), F.col("source"), F.lit('">'),
+        F.substring("text", 1, 40), F.lit(" & 'tail'"),
+    )
+    return d.select("doc_id", htmlrender.html_escape(nasty).alias("escaped"))
+
+
+def q_paper_meta_html_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10 (paper-meta render, kb_utils.get_paper_meta_html
+    kb_utils.py:1834-1868): synthesize the meta fields deterministically
+    from documents — covering the dot-termination rule, empty year/doi,
+    per-element publication-type escaping — and render the full line."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 13 == 0)
+    did = F.col("doc_id")
+    pmid = did.cast("string")
+    title = F.substring("text", 1, 30)
+    year = F.when(did % 3 == 0, F.lit("")).otherwise(
+        (F.lit(1990) + did % 30).cast("string")
+    )
+    journal = F.when(did % 4 == 0, F.lit('J. "X" & <Y>')).otherwise(F.col("source"))
+    doi = F.when(did % 2 == 0, F.concat(F.lit("10.1000/"), F.col("source"))).otherwise(
+        F.lit("")
+    )
+    pts = (
+        F.when(did % 3 == 0, F.array(F.lit("Review"), F.lit("Meta <1>")))
+        .when(did % 3 == 1, F.array(F.lit("Trial")))
+        .otherwise(F.array().cast("array<string>"))
+    )
+    citation = (did % 100).cast("string")
+    return d.select(
+        "doc_id",
+        htmlrender.paper_meta_html(
+            pmid, title, year, journal, doi, pts, citation
+        ).alias("meta_html"),
+    )
+
+
+def q_reference_list_html_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10 (QA reference list, kb_utils.py:1362-1376 is_html=True): one
+    page of documents rendered to the single References string."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 23 == 0)
+    page = d.select(
+        F.col("doc_id").alias("o"),
+        F.col("doc_id").cast("string").alias("pmid"),
+        F.concat(F.lit('"'), F.substring("text", 1, 25), F.lit('" & <more>')).alias(
+            "title"
+        ),
+    )
+    return htmlrender.reference_list_html(page, order_by="o")
+
+
+def q_table_html_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10 (<table> sink, server.py:962-1105 shell): top-5 orders page
+    rendered with the reference's width-styled header row."""
+    o = _t(spark, sf_dir, "orders").orderBy(
+        F.col("o_totalprice").desc(), "o_orderkey"
+    ).limit(5)
+    page = o.select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.col("o_orderpriority").alias("priority"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("total_cents"),
+    )
+    return htmlrender.table_html(
+        page,
+        ["orderkey", "priority", "total_cents"],
+        widths=["20%", "50%", "30%"],
+        order_by="orderkey",
+    )
+
+
+def q_litvar_parse_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 (LitVar autocomplete parse, kb_utils.py:219-250): synthesize
+    raw autocomplete results deterministically from documents — optional
+    rsid/hgvs/gene, five match shapes incl. the reference's degenerate
+    find()==-1 slices — then run the engine's columnar parse."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 11 == 0)
+    did = F.col("doc_id")
+    name = F.split(F.lower(F.col("text")), r"\s+").getItem(0)
+    raw = d.select(
+        "doc_id",
+        F.when(did % 3 == 0, F.concat(F.lit("rs"), did.cast("string"))).alias("rsid"),
+        F.when(
+            did % 4 == 1, F.concat(F.lit("c."), (did % 97).cast("string"), F.lit("G>A"))
+        ).alias("hgvs"),
+        name.alias("name"),
+        (
+            F.when(did % 5 == 0, F.concat(F.lit("<m>"), name, F.lit("</m> rest")))
+            .when(did % 5 == 1, F.concat(F.lit("pre <m>"), name, F.lit("x</m>")))
+            .when(did % 5 == 2, F.concat(F.lit("no markers "), name))
+            .when(did % 5 == 3, F.concat(F.lit("ab<m>"), name))
+            .otherwise(F.lit(None).cast("string"))
+        ).alias("match"),
+        F.when(did % 2 == 0, F.array(F.upper(name))).alias("gene"),
+    )
+    parsed = litvar.parse_litvar(raw)
+    return parsed.select(
+        "doc_id",
+        F.array_join("id_list", "|").alias("ids"),
+        F.array_join("name_list", "|").alias("names"),
+        F.array_join("gene_list", "|").alias("genes"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: Rel relevance page over sf0.001 documents token postings."""
     return q_rel_relevance_page(spark, "/root/testdata/sf0.001")
@@ -930,6 +1039,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "ann_cosine_lsh": q_ann_cosine_lsh,
         "fuzzy_nen": q_fuzzy_nen,
+        "html_escape_docs": q_html_escape_docs,
+        "paper_meta_html_docs": q_paper_meta_html_docs,
+        "reference_list_html_docs": q_reference_list_html_docs,
+        "table_html_orders": q_table_html_orders,
+        "litvar_parse_docs": q_litvar_parse_docs,
         # pinned-VALUES oracles (expected rows derived from Python oracles /
         # the reference dispatch, NOT from running the engine): the full
         # pipeline's per-annotator counts (_KG_GATE_PINNED ←
@@ -1805,6 +1919,120 @@ SELECT annotator, n_triples::BIGINT AS n_triples
 FROM (VALUES
   {kg_rows}) v(annotator, n_triples)
 ORDER BY annotator
+"""
+
+    # ---- presentation layer (F7/S10) + LitVar parse (S6) ----
+    esc = htmlrender.html_escape_sql
+
+    sql["html_escape_docs"] = f"""
+SELECT doc_id, {esc("s")} AS escaped FROM (
+  SELECT doc_id,
+         '<b href="' || source || '">' || substr(text, 1, 40) || ' & ''tail''' AS s
+  FROM documents WHERE doc_id % 17 = 0)
+"""
+
+    dot = (
+        "CASE WHEN {c} <> '' AND substr({c}, length({c}), 1) NOT IN ('.','?','!') "
+        "THEN {c} || '.' ELSE {c} END"
+    )
+    sql["paper_meta_html_docs"] = f"""
+WITH src AS (
+  SELECT doc_id,
+         CAST(doc_id AS VARCHAR) AS pmid,
+         substr(text, 1, 30) AS title0,
+         CASE WHEN doc_id % 3 = 0 THEN '' ELSE CAST(1990 + doc_id % 30 AS VARCHAR) END AS year0,
+         CASE WHEN doc_id % 4 = 0 THEN 'J. "X" & <Y>' ELSE source END AS journal0,
+         CASE WHEN doc_id % 2 = 0 THEN '10.1000/' || source ELSE '' END AS doi,
+         CASE WHEN doc_id % 3 = 0 THEN 'Review, Meta &lt;1&gt;'
+              WHEN doc_id % 3 = 1 THEN 'Trial' ELSE '' END AS pt_joined,
+         CAST(doc_id % 100 AS VARCHAR) AS citation
+  FROM documents WHERE doc_id % 13 = 0),
+fields AS (
+  SELECT doc_id, pmid, doi, pt_joined, citation,
+         {dot.format(c="title0")} AS title1,
+         CASE WHEN year0 <> '' THEN year0 || '.' ELSE year0 END AS year1,
+         {dot.format(c="journal0")} AS journal1
+  FROM src)
+SELECT doc_id,
+  '<a href="https://pubmed.ncbi.nlm.nih.gov/' || pmid || '">[' || {esc("pmid")} || ']</a> '
+  || {esc("title1")}
+  || ' ' || {esc("year1")}
+  || ' <em>' || {esc("journal1")} || '</em>'
+  || ' ' || CASE WHEN doi <> ''
+            THEN '<a href="https://doi.org/' || doi || '">' || {esc("'doi.org/' || doi")} || '</a>'
+            ELSE '' END
+  || ' ' || CASE WHEN pt_joined <> '' THEN pt_joined || '.' ELSE '' END
+  || ' ' || {esc("'Cited by ' || citation || '.'")}
+  AS meta_html
+FROM fields
+"""
+
+    sql["reference_list_html_docs"] = f"""
+SELECT 'References<br />' || string_agg(
+  '<a href="https://pubmed.ncbi.nlm.nih.gov/' || pmid || '">[PMID-' || pmid || ']</a> '
+  || {esc("title")},
+  '<br />' ORDER BY doc_id) AS html
+FROM (
+  SELECT doc_id, CAST(doc_id AS VARCHAR) AS pmid,
+         '"' || substr(text, 1, 25) || '" & <more>' AS title
+  FROM documents WHERE doc_id % 23 = 0)
+"""
+
+    sql["table_html_orders"] = f"""
+WITH page AS (
+  SELECT o_orderkey AS orderkey, o_orderpriority AS priority,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents
+  FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 5)
+SELECT '<table><tr><th style="width:20%">orderkey</th>'
+  || '<th style="width:50%">priority</th>'
+  || '<th style="width:30%">total_cents</th></tr>'
+  || string_agg(
+       '<tr><td>' || {esc("CAST(orderkey AS VARCHAR)")} || '</td><td>'
+       || {esc("priority")} || '</td><td>'
+       || {esc("CAST(total_cents AS VARCHAR)")} || '</td></tr>',
+       '' ORDER BY orderkey)
+  || '</table>' AS html
+FROM page
+"""
+
+    # LitVar parse: the oracle replicates kb_utils.py:226-249's slice
+    # arithmetic (Python str.find == SQL strpos - 1, including the
+    # absent-marker -1 cases) over the same synthesized raw results.
+    name_sql = "string_split_regex(lower(text), '\\s+')[1]"
+    sql["litvar_parse_docs"] = f"""
+WITH src AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 3 = 0 THEN 'rs' || CAST(doc_id AS VARCHAR) END AS rsid,
+    CASE WHEN doc_id % 4 = 1 THEN 'c.' || CAST(doc_id % 97 AS VARCHAR) || 'G>A' END AS hgvs,
+    {name_sql} AS name
+  FROM documents WHERE doc_id % 11 = 0),
+withm AS (
+  SELECT *, CASE doc_id % 5
+      WHEN 0 THEN '<m>' || name || '</m> rest'
+      WHEN 1 THEN 'pre <m>' || name || 'x</m>'
+      WHEN 2 THEN 'no markers ' || name
+      WHEN 3 THEN 'ab<m>' || name
+      ELSE NULL END AS mtch FROM src),
+sliced AS (
+  SELECT *,
+    strpos(mtch, '<m>') - 1 + 3 AS i0,
+    CASE WHEN strpos(substr(mtch, strpos(mtch, '<m>') + 3), '</m>') = 0 THEN -1
+         ELSE (strpos(mtch, '<m>') - 1 + 3)
+              + strpos(substr(mtch, strpos(mtch, '<m>') + 3), '</m>') - 1 END AS j0
+  FROM withm),
+innr_m AS (
+  SELECT doc_id, rsid, hgvs, name, mtch,
+    substr(mtch, i0 + 1,
+           greatest(CASE WHEN j0 >= 0 THEN j0 ELSE length(mtch) - 1 END - i0, 0)
+    ) AS innr
+  FROM sliced)
+SELECT doc_id,
+  concat_ws('|',
+    CASE WHEN rsid IS NOT NULL THEN 'RS#:' || substr(rsid, 3) END,
+    CASE WHEN hgvs IS NOT NULL THEN 'HGVS:' || hgvs END) AS ids,
+  name || CASE WHEN mtch IS NOT NULL AND innr <> name THEN '|' || innr ELSE '' END AS names,
+  CASE WHEN doc_id % 2 = 0 THEN upper(name) ELSE '' END AS genes
+FROM innr_m
 """
 
     return sql

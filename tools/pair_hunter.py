@@ -98,10 +98,12 @@ def main() -> None:
         with open(OUT, "a") as f:
             f.write(json.dumps(rec) + "\n")
         print(json.dumps(rec), flush=True)
-        if eff >= target and leg8["sec"] < 400:
-            # efficiency >= target AND the 8-core leg is in the calm band
-            # (a noise-inflated t2 can fake high efficiency; a sub-400 s
-            # 8-core leg certifies the window was actually calm)
+        if eff >= target and leg8["sec"] < 400 and leg2["sec"] < 900:
+            # efficiency >= target AND BOTH legs in their calm bands.
+            # Certifying only t8 would let a noise-inflated t2 fake high
+            # efficiency (eff = t2 / (4*t8) grows with t2); the calm
+            # bands come from the round-4/5 sample history (calm t2
+            # ~800 s, calm t8 ~250 s, noisy legs 1.5-3x that).
             print("target met in a certified-calm window", flush=True)
             break
 
