@@ -572,6 +572,38 @@ def q_ann_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_bucketed_top_k(idx, qvec, top_k=10)
 
 
+def q_ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-partitioned ANN (round-5; the second ANN scale path beside
+    the LSH buckets): deterministic k-means coarse quantizer
+    (ivf_train), inverted lists persisted partitionBy(_cent)
+    (ivf_build), probe scans only the nprobe nearest lists via
+    partition pruning (ivf_top_k). The gate probes ALL lists so the
+    contract is exactness vs brute force; recall@nprobe<ALL and the
+    pruning plan are pytest's job (tests/test_ops.py)."""
+    import hashlib
+    import json
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 2).first()["embedding"]]
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    idx_root = os.path.join(tempfile.gettempdir(), f"spark_graft_ivf_idx_{key}")
+    cent_path = os.path.join(idx_root, "_centroids.json")
+    if os.path.exists(cent_path):
+        with open(cent_path) as f:
+            centroids = json.load(f)
+        idx = spark.read.parquet(os.path.join(idx_root, "ivf"))
+    else:
+        centroids = similarity.ivf_train(emb, n_centroids=8, n_iter=4)
+        idx = similarity.ivf_build(emb, os.path.join(idx_root, "ivf"), centroids)
+        with open(cent_path, "w") as f:
+            json.dump(centroids, f)
+    return similarity.ivf_top_k(
+        idx, qvec, centroids, top_k=10, nprobe=len(centroids)
+    )
+
+
 # ----- round-2 operator gates ------------------------------------------------
 
 def q_disease_gene_blend(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1038,6 +1070,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "variant_in_kb": q_variant_in_kb,
         "multimodal_features": q_multimodal_features,
         "ann_cosine_lsh": q_ann_cosine_lsh,
+        "ivf_cosine_topk": q_ivf_cosine_topk,
         "fuzzy_nen": q_fuzzy_nen,
         "html_escape_docs": q_html_escape_docs,
         "paper_meta_html_docs": q_paper_meta_html_docs,
@@ -1368,6 +1401,18 @@ FROM bits GROUP BY doc_id
 
     sql["cosine_topk"] = """
 WITH q AS (SELECT embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       round(list_cosine_similarity(embedding::DOUBLE[], (SELECT e FROM q)), 6) AS cos_sim
+FROM embeddings
+ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
+"""
+
+    # IVF with nprobe = ALL lists is exhaustive by construction, so the
+    # oracle is plain brute force — centroid floating-point parity is
+    # deliberately NOT part of the gate contract (pruning/recall are
+    # pytest-covered)
+    sql["ivf_cosine_topk"] = """
+WITH q AS (SELECT embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id = 2)
 SELECT vec_id,
        round(list_cosine_similarity(embedding::DOUBLE[], (SELECT e FROM q)), 6) AS cos_sim
 FROM embeddings

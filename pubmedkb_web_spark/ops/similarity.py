@@ -32,6 +32,9 @@ __all__ = [
     "hyperplane_signature",
     "build_ann_index",
     "ann_bucketed_top_k",
+    "ivf_train",
+    "ivf_build",
+    "ivf_top_k",
     "embedding_near_duplicates",
     "cosine_top_k_pandas",
     "embed_text",
@@ -146,6 +149,126 @@ def ann_bucketed_top_k(
         )
     return (
         probed.select(
+            F.col(id_col), F.round(cosine(F.col(vec_col), query), 6).alias("cos_sim")
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
+        .limit(top_k)
+    )
+
+
+def ivf_train(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    n_iter: int = 5,
+    n_train: int = 16384,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic IVF coarse quantizer: Lloyd k-means on a bounded,
+    hash-ordered sample.
+
+    Training is the one part of IVF that is legitimately driver-side
+    (faiss trains its quantizer on an in-memory sample too): the sample
+    is capped at ``n_train`` rows — a bounded collect, documented as
+    such — ordered by ``md5_int60(id)`` so the same corpus always yields
+    the same sample, the same seeds (the first ``n_centroids`` sample
+    rows), and therefore the same centroids. No RNG anywhere; empty
+    clusters keep their previous centroid. Everything that scales with
+    the corpus (assignment, probing) stays distributed.
+    """
+    sample = (
+        embeddings.select(id_col, vec_col)
+        .withColumn("_h", md5_int60(F.col(id_col).cast("string")))
+        .orderBy("_h", id_col)
+        .limit(n_train)
+        .select(vec_col)
+        .collect()
+    )
+    x = np.array([r[vec_col] for r in sample], dtype=np.float64)
+    k = min(n_centroids, len(x))
+    cents = x[:k].copy()
+    for _ in range(n_iter):
+        # squared-L2 assignment; ties -> lowest centroid index (argmin)
+        d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(k):
+            members = x[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+    return [[float(v) for v in c] for c in cents]
+
+
+def _nearest_centroid(vec_col: Column, centroids: list[list[float]]) -> Column:
+    """0-based index of the squared-L2-nearest centroid, computed
+    map-side against a literal centroid array (the centroid table is
+    tiny — √N-ish — so it ships inside the plan; assignment of an
+    arbitrarily large corpus is a single codegen'd scan with no shuffle
+    and no join). Ties resolve to the lowest index (array_position
+    finds the first occurrence), matching numpy argmin in ivf_train."""
+    carr = F.array(
+        *[F.array(*[F.lit(float(v)) for v in c]) for c in centroids]
+    )
+    dists = F.transform(
+        carr,
+        lambda c: F.aggregate(
+            F.zip_with(vec_col, c, lambda x, y: (x.cast("double") - y) ** 2),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+    )
+    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+
+def ivf_build(
+    embeddings: DataFrame,
+    out_path: str,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Materialize the inverted file: vectors parquet-partitioned by
+    their nearest-centroid id ``_cent``, exactly the build_ann_index
+    pattern — a probe's ``_cent IN (nprobe set)`` filter becomes
+    partition pruning, so the scan reads only the probed lists' files.
+    Returns the reloaded, pruned-scannable table."""
+    assigned = embeddings.withColumn(
+        "_cent", _nearest_centroid(F.col(vec_col), centroids)
+    )
+    assigned.write.mode("overwrite").partitionBy("_cent").parquet(out_path)
+    return embeddings.sparkSession.read.parquet(out_path)
+
+
+def ivf_top_k(
+    index: DataFrame,
+    query: list[float],
+    centroids: list[list[float]],
+    top_k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF probe: rank centroids by distance to the query (driver-side —
+    the centroid list is tiny), scan only the ``nprobe`` nearest
+    inverted lists (partition-pruned on an ivf_build table), exact
+    cosine within them, deterministic (score desc, id asc) top-k.
+    ``nprobe = len(centroids)`` probes everything — exact brute force,
+    which is the oracle contract; smaller nprobe trades recall for a
+    scan bounded by the probed lists' size. The same hot-list caveat as
+    ann_bucketed_top_k applies at pathological skew; IVF's mean-split
+    lists are far less collapse-prone than sign buckets, so no cap is
+    wired here — `lsh_hot_buckets`-style observability comes free from
+    the partition sizes."""
+    q = np.array(query, dtype=np.float64)
+    cents = np.array(centroids, dtype=np.float64)
+    order = ((cents - q[None, :]) ** 2).sum(axis=1).argsort(kind="stable")
+    probe = [int(c) for c in order[: max(1, nprobe)]]
+    if "_cent" not in index.columns:
+        index = index.withColumn(
+            "_cent", _nearest_centroid(F.col(vec_col), centroids)
+        )
+    return (
+        index.filter(F.col("_cent").isin(probe))
+        .select(
             F.col(id_col), F.round(cosine(F.col(vec_col), query), 6).alias("cos_sim")
         )
         .orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())

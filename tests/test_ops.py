@@ -359,3 +359,67 @@ def test_lsh_uncapped_default_is_exact(spark):
     assert default == exact and default
     plan = dedup.lsh_candidate_pairs(sig)._jdf.queryExecution().optimizedPlan().toString()
     assert "_bsz" not in plan
+
+
+# ---- IVF ANN (round-5: the second ANN scale path beside LSH buckets) ----
+
+def _ivf_fixture(spark, n=200, dim=8, seed=5):
+    import random
+
+    rng = random.Random(seed)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(dim)]) for i in range(n)]
+    return rows, spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_ivf_train_deterministic(spark):
+    _, emb = _ivf_fixture(spark)
+    a = similarity.ivf_train(emb, n_centroids=8, n_iter=4)
+    b = similarity.ivf_train(emb, n_centroids=8, n_iter=4)
+    assert a == b
+    assert len(a) == 8 and len(a[0]) == 8
+
+
+def test_ivf_full_probe_equals_brute_force(spark):
+    rows, emb = _ivf_fixture(spark)
+    q = rows[7][1]
+    cents = similarity.ivf_train(emb, n_centroids=8, n_iter=4)
+    exact = [
+        (r["vec_id"], r["cos_sim"])
+        for r in similarity.cosine_top_k(emb, q, 10).collect()
+    ]
+    full = [
+        (r["vec_id"], r["cos_sim"])
+        for r in similarity.ivf_top_k(emb, q, cents, top_k=10, nprobe=len(cents)).collect()
+    ]
+    assert full == exact
+
+
+def test_ivf_own_list_always_probed_first(spark):
+    # a corpus vector's own inverted list is by construction the probe's
+    # nearest centroid, so nprobe=1 must still find the vector itself
+    rows, emb = _ivf_fixture(spark)
+    q = rows[7][1]
+    cents = similarity.ivf_train(emb, n_centroids=8, n_iter=4)
+    got = similarity.ivf_top_k(emb, q, cents, top_k=1, nprobe=1).collect()
+    assert got[0]["vec_id"] == 7 and abs(got[0]["cos_sim"] - 1.0) < 1e-6
+
+
+def test_ivf_persisted_index_prunes_partitions(spark, tmp_path):
+    import io
+    from contextlib import redirect_stdout
+
+    rows, emb = _ivf_fixture(spark)
+    q = rows[7][1]
+    cents = similarity.ivf_train(emb, n_centroids=8, n_iter=4)
+    idx = similarity.ivf_build(emb, str(tmp_path / "ivf"), cents)
+    inline = [
+        (r["vec_id"], r["cos_sim"])
+        for r in similarity.ivf_top_k(emb, q, cents, top_k=5, nprobe=2).collect()
+    ]
+    indexed_df = similarity.ivf_top_k(idx, q, cents, top_k=5, nprobe=2)
+    assert [(r["vec_id"], r["cos_sim"]) for r in indexed_df.collect()] == inline
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        indexed_df.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "_cent" in plan.split("PartitionFilters", 1)[1]
