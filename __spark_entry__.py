@@ -260,6 +260,13 @@ def q_sessionize_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-session rows (gap > 30 min splits) — the batch twin of the
+    applyInPandasWithState streaming sessionizer (streaming/events.py);
+    stream-vs-batch parity is pytest's job (test_graph_streaming)."""
+    return streaming_events.sessionize_batch(_t(spark, sf_dir, "events"), gap_s=1800)
+
+
 def q_cooccurrence_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     dt = (
         _doc_tokens(spark, sf_dir)
@@ -1036,6 +1043,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_event_matrix": q_pivot_event_matrix,
         "hourly_event_windows": q_hourly_event_windows,
         "sessionize_users": q_sessionize_users,
+        "user_sessions": q_user_sessions,
         "cooccurrence_tokens": q_cooccurrence_tokens,
         "odds_ratio_pairs": q_odds_ratio_pairs,
         "exact_dedup_docs": q_exact_dedup_docs,
@@ -1289,6 +1297,28 @@ SELECT user_id,
        sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)::BIGINT AS n_sessions,
        count(*) AS n_events
 FROM g GROUP BY user_id
+"""
+
+    # floor-consistent epoch seconds on both sides: Spark cast(ts as long)
+    # floors; DuckDB epoch_ms // 1000 floors; epoch() would keep fractions
+    sql["user_sessions"] = """
+WITH e AS (
+  SELECT user_id, event_id, ts, epoch_ms(ts) // 1000 AS ep FROM events
+),
+g AS (
+  SELECT *,
+         CASE WHEN lag(ep) OVER w IS NULL OR ep - lag(ep) OVER w > 1800
+              THEN 1 ELSE 0 END AS nw
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT *, sum(nw) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sess
+  FROM g
+)
+SELECT user_id, min(ep) AS session_start, max(ep) AS session_end,
+       count(*) AS n_events
+FROM s GROUP BY user_id, sess
 """
 
     sql["cooccurrence_tokens"] = f"""

@@ -152,3 +152,84 @@ def test_streaming_batch_parity(spark, tmp_path):
         ("2024-01-01 10:00:00", "click", 2, 3.0),
         ("2024-01-01 11:00:00", "view", 1, 3.0),
     }
+
+
+def test_stateful_sessionize_parity(spark, tmp_path):
+    """applyInPandasWithState sessionization == batch twin minus each
+    user's still-open (last) session. Events from the real sf0.001 table
+    so sub-second timestamps and multi-session users are exercised."""
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    path = str(tmp_path / "ev")
+    ev.write.parquet(path)
+
+    batch = SE.sessionize_batch(spark.read.parquet(path), gap_s=1800)
+    rows = batch.collect()
+    # closed = all sessions except the user's latest (which is still open
+    # in stream state when the finite input ends)
+    last = {}
+    for r in rows:
+        if r["user_id"] not in last or r["session_start"] > last[r["user_id"]]:
+            last[r["user_id"]] = r["session_start"]
+    expect = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in rows
+        if r["session_start"] != last[r["user_id"]]
+    }
+    assert expect, "fixture must contain closed sessions"
+
+    stream = SE.read_events_stream(spark, path)
+    q = (
+        SE.sessionize_stream(stream, gap_s=1800)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_sess")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.sql("SELECT * FROM t_sess").collect()
+    }
+    assert got == expect
+
+
+def test_stateful_sessionize_state_carries_across_batches(spark, tmp_path):
+    """A session spanning two micro-batches must NOT be split: the open
+    session lives in state and closes only on a later > gap event."""
+    import datetime
+
+    t0 = datetime.datetime(2024, 1, 1, 10, 0)
+
+    def ev(i, minutes):
+        return (i, t0 + datetime.timedelta(minutes=minutes), 1, "click", 1.0, "{}")
+
+    path = str(tmp_path / "ev2")
+    # batch 1: two events 10 min apart; batch 2: +10 min (same session),
+    # then +90 min (gap > 30 min -> closes the first session)
+    spark.createDataFrame([ev(1, 0), ev(2, 10)], SE.EVENTS_DDL).coalesce(
+        1
+    ).write.parquet(path)
+    spark.createDataFrame([ev(3, 20), ev(4, 110)], SE.EVENTS_DDL).coalesce(
+        1
+    ).write.mode("append").parquet(path)
+
+    stream = spark.readStream.schema(SE.EVENTS_DDL).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(path)
+    q = (
+        SE.sessionize_stream(stream, gap_s=1800)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_sess2")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = [
+        (r["user_id"], r["session_end"] - r["session_start"], r["n_events"])
+        for r in spark.sql("SELECT * FROM t_sess2").collect()
+    ]
+    # exactly ONE closed session: 3 events spanning 20 min — never split
+    # at the batch boundary
+    assert got == [(1, 1200, 3)]
