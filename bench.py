@@ -78,6 +78,9 @@ def main() -> None:
         "gvd_stats",
         "variant_in_kb",
         "ann_cosine_lsh",
+        # round-5 operators
+        "ivf_cosine_topk",
+        "user_sessions",
     ]
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
     qs = E.queries()

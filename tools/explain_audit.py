@@ -40,6 +40,17 @@ EXPECT = {
     "quality_scores": ([], ["BatchEvalPython", "ArrowEvalPython"]),
     "orders_page": (["TakeOrderedAndProject"], ["BatchEvalPython"]),
     "anti_join_customers": (["BroadcastHashJoin"], ["BatchEvalPython"]),
+    # round-5 surfaces: presentation + LitVar parse are pure codegen
+    # (no Python anywhere); IVF probe must hit the partitioned index as
+    # partition pruning and rank via TakeOrderedAndProject
+    "html_escape_docs": ([], ["BatchEvalPython", "ArrowEvalPython"]),
+    "paper_meta_html_docs": ([], ["BatchEvalPython", "ArrowEvalPython"]),
+    "litvar_parse_docs": ([], ["BatchEvalPython", "ArrowEvalPython"]),
+    "user_sessions": (["HashAggregate"], ["BatchEvalPython", "ArrowEvalPython"]),
+    "ivf_cosine_topk": (
+        ["TakeOrderedAndProject", "PartitionFilters"],
+        ["BatchEvalPython", "ArrowEvalPython"],
+    ),
 }
 
 
