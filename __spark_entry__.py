@@ -350,6 +350,59 @@ def q_lsh_hot_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.lsh_hot_buckets(sigs, 4, 2, max_bucket_size=8)
 
 
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standalone gate for dedup.jaccard_pairs — the exact n-gram verify
+    stage — decoupled from LSH candidate generation (the brief lists
+    n-gram Jaccard as its own dedup op; in lsh_near_dup_pairs it is only
+    exercised on LSH survivors). Candidates here are every doc pair
+    sharing >= 1 shingle (a shingle equi-self-join, not a cross product),
+    so the op scores the complete non-zero-Jaccard pair set exactly."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    sh = dedup.shingles(docs, 3)
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    cands = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    return dedup.jaccard_pairs(sh, cands)
+
+
+def _dup_embedding_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived embedding corpus with guaranteed hot signature buckets
+    (embedding twin of _hot_lsh_corpus): replicate vec_id<20 — every 5th
+    vector ×12 copies (> cap 8 → star fallback), the rest ×3 (≤ cap →
+    clique). Identical vectors share every hyperplane bucket and score
+    cos_sim=1. Same derivation in the DuckDB oracle."""
+    base = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 20)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    )
+    reps = F.when(F.col("vec_id") % 5 == 0, F.lit(12)).otherwise(F.lit(3))
+    return base.select(
+        "vec_id",
+        "embedding",
+        F.explode(F.sequence(F.lit(0), reps - 1)).alias("r"),
+    ).select(
+        (F.col("vec_id") * 100 + F.col("r")).cast("long").alias("vec_id"), "embedding"
+    )
+
+
+def q_embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate for similarity.embedding_near_duplicates covering BOTH bucket
+    branches (the ×12 groups exceed cap 8 → star path; the ×3 groups stay
+    on the clique path), hash-matched against an oracle that replicates
+    the affine hyperplane signature, the bucket-size split, and the
+    round-then-threshold filter in explicit SQL."""
+    corpus = _dup_embedding_corpus(spark, sf_dir)
+    return similarity.embedding_near_duplicates(
+        corpus, threshold=0.95, n_planes=8, max_bucket_size=8
+    )
+
+
 def q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     return dedup.simhash(docs, 16)
@@ -1051,6 +1104,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_near_dup_pairs": q_lsh_near_dup_pairs,
         "lsh_star_fallback_pairs": q_lsh_star_fallback_pairs,
         "lsh_hot_buckets": q_lsh_hot_buckets,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "embedding_near_dup_pairs": q_embedding_near_dup_pairs,
         "simhash_docs": q_simhash_docs,
         "cosine_topk": q_cosine_topk,
         "bm25_docs": q_bm25_docs,
@@ -1415,6 +1470,33 @@ WHERE z.n > 8 AND mm.doc_id <> z.rep""")
         for i in range(4)
     )
     sql["lsh_hot_buckets"] = _minhash_corpus_sql(_HOT_CORPUS_SQL, hot_terms)
+
+    # ---- ngram_jaccard_pairs: exact |A∩B|/|A∪B| over every pair sharing
+    # >= 1 shingle — candidate generation and verify both in plain SQL
+    sql["ngram_jaccard_pairs"] = f"""
+WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id < 40),
+toks AS (
+  SELECT doc_id, unnest({TOKS_SQL}) AS tok, generate_subscripts({TOKS_SQL}, 1) AS ord
+  FROM corpus
+),
+sh AS (
+  SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS shingle
+  FROM toks a
+  JOIN toks b ON a.doc_id = b.doc_id AND b.ord = a.ord + 1
+  JOIN toks c ON a.doc_id = c.doc_id AND c.ord = a.ord + 2
+),
+sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b,
+       round(i.n_inter::DOUBLE / (za.n_sh + zb.n_sh - i.n_inter), 6) AS jaccard
+FROM inter i
+JOIN sz za ON za.doc_id = i.doc_a
+JOIN sz zb ON zb.doc_id = i.doc_b
+"""
 
     sql["simhash_docs"] = f"""
 WITH toks AS (
@@ -1804,6 +1886,42 @@ SELECT vec_id,
        round(list_cosine_similarity(e, (SELECT e FROM q)), 6) AS cos_sim
 FROM sig WHERE s IN (SELECT s0 FROM probes)
 ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
+"""
+
+    # ---- embedding_near_dup_pairs: same affine signature, then the
+    # engine's exact bucket split — bsz <= 8 buckets emit the full clique,
+    # bsz > 8 buckets emit only (min-id rep, member) star edges — and the
+    # same round(·,6)-then-threshold filter the engine applies
+    nd_sig_terms = " + ".join(
+        f"(CASE WHEN list_dot_product(e, {_plane_lits(i, ann_dim)}) > 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i in range(n_planes)
+    )
+    sql["embedding_near_dup_pairs"] = f"""
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id < 20),
+corpus AS (
+  SELECT b.vec_id * 100 + r.range AS id, b.e
+  FROM base b, range(12) r
+  WHERE r.range < (CASE WHEN b.vec_id % 5 = 0 THEN 12 ELSE 3 END)
+),
+sig AS (SELECT id, e, ({nd_sig_terms})::BIGINT AS s FROM corpus),
+z AS (SELECT s, count(*) AS bsz, min(id) AS rep FROM sig GROUP BY s),
+pairs AS (
+  SELECT a.id AS doc_a, b.id AS doc_b, a.e AS ea, b.e AS eb
+  FROM sig a
+  JOIN sig b ON a.s = b.s AND a.id < b.id
+  JOIN z ON z.s = a.s
+  WHERE z.bsz <= 8
+  UNION
+  SELECT z.rep AS doc_a, m.id AS doc_b, r.e AS ea, m.e AS eb
+  FROM sig m
+  JOIN z ON z.s = m.s
+  JOIN sig r ON r.id = z.rep
+  WHERE z.bsz > 8 AND m.id <> z.rep
+)
+SELECT DISTINCT doc_a, doc_b, round(list_cosine_similarity(ea, eb), 6) AS cos_sim
+FROM pairs
+WHERE round(list_cosine_similarity(ea, eb), 6) >= 0.95
 """
 
     # ---- multimodal_features: the synthetic payload contract is
