@@ -83,13 +83,17 @@ def main() -> None:
         "user_sessions",
     ]
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+    # round 6 merged some queries() entries to fit the driver's 50-gate cap;
+    # the per-capability q_ functions remain, so headline names resolve
+    # through queries() first, then the module attribute
     qs = E.queries()
+    resolve = lambda n: qs.get(n) or getattr(E, f"q_{n}")  # noqa: E731
     times: dict[str, float] = {}
     for _rep in range(max(1, reps)):
         for name in headline:
             t0 = time.time()
             # count() drives the full plan without collecting wide rows
-            qs[name](spark, sf_dir).count()
+            resolve(name)(spark, sf_dir).count()
             dt = round(time.time() - t0, 3)
             times[name] = min(times.get(name, dt), dt)
     total = sum(times.values())
