@@ -62,17 +62,44 @@ def html_escape_sql(expr: str) -> str:
     return out
 
 
-def pmid_anchor(pmid: Column | str, label: Column | None = None) -> Column:
+def url_quote(col: Column | str) -> Column:
+    """``urllib.parse.quote(s)`` (default ``safe='/'``) as column algebra.
+
+    ``F.url_encode`` is java.net.URLEncoder — quote_plus semantics. The
+    two differ on exactly four points, each fixed by a replace that
+    cannot collide with encoder output (a literal '+', '/', '~', '%' in
+    the INPUT leaves the encoder as %2B, %2F, %7E, %25, so the patterns
+    below only ever match what the fix-up targets):
+      space: '+' -> '%20';  '*' kept by URLEncoder, quoted by Python;
+      '~' quoted by URLEncoder, kept by Python;  '/' quoted by
+      URLEncoder, in Python's default safe set.
+    UTF-8 multi-byte percent-encoding agrees between the two already.
+    """
+    out = F.url_encode(_c(col).cast("string"))
+    for raw, fixed in [("+", "%20"), ("*", "%2A"), ("%7E", "~"), ("%2F", "/")]:
+        out = F.replace(out, F.lit(raw), F.lit(fixed))
+    return out
+
+
+def pmid_anchor(
+    pmid: Column | str, label: Column | None = None, quote_href: bool = False
+) -> Column:
     """``<a href="https://pubmed.ncbi.nlm.nih.gov/{pmid}">{label}</a>``.
 
     ``label`` defaults to the escaped pmid (the ``run_rel`` relation
-    table, server.py:1058). The href side is interpolated raw, exactly
-    as the reference does for its numeric pmids.
+    table, server.py:1058; ``get_paper_meta_html`` kb_utils.py:1839 —
+    both interpolate the href RAW, so that is the default here too).
+    ``quote_href=True`` percent-encodes the href side with
+    :func:`url_quote`, matching ``PaperQA.get_reference``
+    (kb_utils.py:1366, ``urllib.parse.quote(pmid)``) — identical output
+    for numeric pmids, diverging (and injection-safe) beyond them.
     """
     p = _c(pmid).cast("string")
     lab = html_escape(p) if label is None else label
     return F.concat(
-        F.lit('<a href="https://pubmed.ncbi.nlm.nih.gov/'), p, F.lit('">'),
+        F.lit('<a href="https://pubmed.ncbi.nlm.nih.gov/'),
+        url_quote(p) if quote_href else p,
+        F.lit('">'),
         lab, F.lit("</a>"),
     )
 
@@ -128,21 +155,34 @@ def paper_meta_html(
     its quirks: empty fields still contribute their separator space in
     the final f-string, the doi label is the escaped ``doi.org/{doi}``
     while the href uses the raw doi, and citation renders as the
-    escaped ``Cited by {n}.``."""
-    p = _c(pmid).cast("string")
+    escaped ``Cited by {n}.``.
+
+    NULL inputs (e.g. from a left meta join) are coalesced to the
+    reference's empty-string fields up front — the reference's meta dict
+    always holds strings, and without the coalesce a single NULL would
+    null out its whole fragment and make ``concat_ws`` swallow the
+    separator the f-string always emits (round-5 ADVICE)."""
+    p = F.coalesce(_c(pmid).cast("string"), F.lit(""))
+    title = F.coalesce(_c(title).cast("string"), F.lit(""))
+    year = F.coalesce(_c(year).cast("string"), F.lit(""))
+    journal = F.coalesce(_c(journal).cast("string"), F.lit(""))
+    doi = F.coalesce(_c(doi).cast("string"), F.lit(""))
+    publication_type_list = F.coalesce(
+        _c(publication_type_list), F.array().cast("array<string>")
+    )
+    citation = F.coalesce(_c(citation).cast("string"), F.lit(""))
     title_html = F.concat(
         F.lit('<a href="https://pubmed.ncbi.nlm.nih.gov/'), p, F.lit('">['),
         html_escape(p), F.lit("]</a> "),
-        html_escape(_dot_terminate(_c(title))),
+        html_escape(_dot_terminate(title)),
     )
-    yr = _c(year)
+    yr = year
     year_html = html_escape(
         F.when(yr.isNotNull() & (yr != ""), F.concat(yr, F.lit("."))).otherwise(yr)
     )
     journal_html = F.concat(
-        F.lit("<em>"), html_escape(_dot_terminate(_c(journal))), F.lit("</em>")
+        F.lit("<em>"), html_escape(_dot_terminate(journal)), F.lit("</em>")
     )
-    doi = _c(doi)
     doi_html = F.when(
         doi.isNotNull() & (doi != ""),
         F.concat(
@@ -151,11 +191,11 @@ def paper_meta_html(
         ),
     ).otherwise(F.lit(""))
     pt = F.array_join(
-        F.transform(_c(publication_type_list), lambda t: html_escape(t)), ", "
+        F.transform(publication_type_list, lambda t: html_escape(t)), ", "
     )
     pt_html = F.when(pt != "", F.concat(pt, F.lit("."))).otherwise(pt)
     cite_html = html_escape(
-        F.concat(F.lit("Cited by "), _c(citation).cast("string"), F.lit("."))
+        F.concat(F.lit("Cited by "), citation, F.lit("."))
     )
     return F.concat_ws(
         " ", title_html, year_html, journal_html, doi_html, pt_html, cite_html
@@ -178,9 +218,12 @@ def reference_list_html(
     aggregates a bounded page, not a corpus.
     """
     ordc = F.col(order_by if order_by is not None else pmid)
+    # quote_href: PaperQA.get_reference percent-encodes the href pmid
+    # (urllib.parse.quote, kb_utils.py:1366) unlike the other anchors
     line = pmid_anchor(
         F.col(pmid),
         label=html_escape(F.concat(F.lit("[PMID-"), F.col(pmid).cast("string"), F.lit("]"))),
+        quote_href=True,
     )
     line = F.concat(line, F.lit(" "), html_escape(F.col(title)))
     rows = df.select(F.struct(ordc.alias("o"), line.alias("line")).alias("s"))
@@ -211,12 +254,22 @@ def table_html(
     only the final page-sized ordered join is an aggregation. Callers
     pass the already-paginated page, mirroring every ``run_*`` route.
     """
+    # header labels are driver-side Python strings: escape with the real
+    # stdlib (byte-identical to the html_escape() replace chain) so a
+    # hostile column name cannot break out of the <th> (round-5 VERDICT
+    # next-round #6; the reference's headers are trusted literals, ours
+    # are caller input)
+    import html as _html
+
     ths = []
     for i, name in enumerate(columns):
         if widths is not None:
-            ths.append(f'<th style="width:{widths[i]}">{name}</th>')
+            ths.append(
+                f'<th style="width:{_html.escape(str(widths[i]))}">'
+                f"{_html.escape(name)}</th>"
+            )
         else:
-            ths.append(f"<th>{name}</th>")
+            ths.append(f"<th>{_html.escape(name)}</th>")
     header = "<table><tr>" + "".join(ths) + "</tr>"
 
     cells = [

@@ -185,11 +185,17 @@ def lsh_hot_buckets(
     signatures: DataFrame,
     bands: int = 4,
     rows_per_band: int = 2,
-    max_bucket_size: int = 1024,
+    *,
+    max_bucket_size: int,
 ) -> DataFrame:
     """Observability companion to :func:`lsh_candidate_pairs`: the buckets
     that exceeded the cap, with sizes — the 'log' half of drop-with-log
-    (the lazy pair plan itself cannot emit driver-side logs)."""
+    (the lazy pair plan itself cannot emit driver-side logs).
+
+    ``max_bucket_size`` is required keyword-only: since the pair function's
+    cap went opt-in (default ``None``), a default here would let the two
+    silently disagree — the 'same bands/cap' pairing only means anything
+    when the caller states the cap at BOTH call sites (round-5 ADVICE)."""
     banded = signatures.select(
         "doc_id",
         F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band_idx"),

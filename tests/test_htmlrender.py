@@ -47,6 +47,29 @@ def test_html_escape_sql_matches_stdlib():
         assert out == html.escape(s, quote=True)
 
 
+def test_url_quote_matches_urllib(spark):
+    """url_quote == urllib.parse.quote (default safe='/') — the href twin
+    of PaperQA.get_reference's pmid_url (kb_utils.py:1366). Exercises all
+    four URLEncoder/quote divergences (space, '*', '~', '/') plus the
+    collision-bait inputs whose encodings contain the fix-up patterns."""
+    import urllib.parse
+
+    cases = [
+        "12345",
+        "PMID 678",            # space
+        "a*b~c/d",             # all three punctuation divergences
+        "lit+plus",            # input '+' must stay %2B, not become %20
+        "pre%7Epost",          # input '%7E' must stay %257E, not '~'
+        "pct%2Fslash",         # input '%2F' must stay %252F, not '/'
+        'q"uo\'te<>&',
+        "ünïcödé 漢字",
+    ]
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(cases)], "i int, s string")
+    got = {r["i"]: r["q"] for r in df.select("i", H.url_quote("s").alias("q")).collect()}
+    for i, s in enumerate(cases):
+        assert got[i] == urllib.parse.quote(s), s
+
+
 def _ref_gene_anchor(gene_id, symbol, taxon):
     # verbatim logic of kb_utils.get_html_anchor (kb_utils.py:524-548)
     if symbol:
@@ -161,6 +184,49 @@ def test_paper_meta_parity(spark):
     }
     for i, (p, m) in enumerate(metas):
         assert got[i] == _ref_paper_meta_html(p, m), (p, m)
+
+
+def test_paper_meta_null_fields_act_as_empty(spark):
+    """NULL meta fields (left-join misses) render exactly like the
+    reference's empty-string fields — every f-string separator space
+    survives and the pmid anchor never drops (round-5 ADVICE)."""
+    df = spark.createDataFrame(
+        [(0, "77", None, None, None, None, None, None)],
+        "i int, pmid string, title string, year string, journal string, "
+        "doi string, pts array<string>, citation string",
+    )
+    (row,) = df.select(
+        H.paper_meta_html(
+            "pmid", "title", "year", "journal", "doi", "pts", "citation"
+        ).alias("h")
+    ).collect()
+    empty_meta = {"title": "", "year": "", "journal": "", "doi": "",
+                  "publication_type_list": [], "citation": ""}
+    assert row["h"] == _ref_paper_meta_html("77", empty_meta)
+
+
+def test_reference_list_pmid_href_is_percent_encoded(spark):
+    """A non-numeric pmid cannot break out of the href attribute: the
+    quote twin percent-encodes it exactly as kb_utils.py:1366."""
+    import urllib.parse
+
+    hostile = 'x"><script>alert(1)</script>'
+    df = spark.createDataFrame([(1, hostile, "t")], "o int, pmid string, title string")
+    (row,) = H.reference_list_html(df, order_by="o").collect()
+    assert urllib.parse.quote(hostile) in row["html"]
+    assert '"><script>' not in row["html"]
+
+
+def test_table_html_hostile_header(spark):
+    """Header labels are caller input — a hostile column name must be
+    escaped in the <th> (round-5 VERDICT next-round #6)."""
+    import html as _html
+
+    bad = 'name"><script>x</script>'
+    df = spark.createDataFrame([(1, "v")], f"rank int, `{bad}` string")
+    (row,) = H.table_html(df, ["rank", bad], order_by="rank").collect()
+    assert f"<th>{_html.escape(bad)}</th>" in row["html"]
+    assert "<script>" not in row["html"]
 
 
 def test_reference_list_html(spark):
