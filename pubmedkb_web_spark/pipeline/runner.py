@@ -228,17 +228,20 @@ def run_kg_pipeline(
     seed: int = fixtures.SEED,
     resume: bool = True,
     with_dedup: bool = False,
-    with_ann_index: bool = False,
+    with_ann_index: bool | str = False,
 ) -> dict[str, DataFrame]:
     """Full M0→M4 build. Returns the materialized DataFrames by name.
 
     ``with_dedup`` adds a ``near_dup_pairs`` stage (MinHash+LSH over the
     source corpus, shingle/signature relations materialized under
     ``out_dir/near_dup_work``, hot buckets star-collapsed at 1024) and
-    ``with_ann_index`` adds an ``ann_index`` stage (deterministic text
-    embedding + hyperplane signature, written parquet-PARTITIONED by
-    ``_sig`` so probe filters prune partitions — the same layout
-    ops.similarity.build_ann_index produces). Both are OPTIONAL tail
+    ``with_ann_index`` adds an ``ann_index`` stage over a deterministic
+    text embedding: ``True``/``"lsh"`` writes the hyperplane-signature
+    layout (parquet-PARTITIONED by ``_sig``, the build_ann_index shape);
+    ``"ivf"`` trains the deterministic coarse quantizer, writes inverted
+    lists PARTITIONED by ``_cent`` (the ivf_build shape) plus the
+    centroid JSON (``out_dir/ann_index_centroids.json``) probes need.
+    Both are OPTIONAL tail
     stages with the same fingerprint-resume contract as every other
     stage; they read only the completed source stage, so enabling them
     never changes the core tables' counts (round-4 VERDICT #7)."""
@@ -407,26 +410,61 @@ def run_kg_pipeline(
         if with_ann_index:
             from ..ops import similarity as sim_ops
 
-            ann_cfg = {"dim": 16, "n_planes": 8}
+            ann_kind = (
+                "ivf" if str(with_ann_index).lower() == "ivf" else "lsh"
+            )
+            if ann_kind == "lsh":
+                ann_cfg = {"kind": "lsh", "dim": 16, "n_planes": 8}
 
-            def build_ann() -> DataFrame:
-                emb = sim_ops.embed_text(
-                    source, text_col="content", id_col="doc_id",
-                    dim=ann_cfg["dim"], portable=False,
-                )
-                return emb.withColumn(
-                    "_sig",
-                    sim_ops.hyperplane_signature(
-                        F.col("embedding"), ann_cfg["dim"], ann_cfg["n_planes"]
-                    ),
-                )
+                def build_ann() -> DataFrame:
+                    emb = sim_ops.embed_text(
+                        source, text_col="content", id_col="doc_id",
+                        dim=ann_cfg["dim"], portable=False,
+                    )
+                    return emb.withColumn(
+                        "_sig",
+                        sim_ops.hyperplane_signature(
+                            F.col("embedding"), ann_cfg["dim"], ann_cfg["n_planes"]
+                        ),
+                    )
 
-            # partition_by=["_sig"] gives the stage parquet the exact
-            # partition-pruned layout build_ann_index writes: probe-set
-            # filters touch only the probed buckets' directories
+                ann_part = "_sig"
+            else:
+                ann_cfg = {
+                    "kind": "ivf", "dim": 16, "n_centroids": 8, "n_iter": 4,
+                }
+
+                def build_ann() -> DataFrame:
+                    emb = sim_ops.embed_text(
+                        source, text_col="content", id_col="doc_id",
+                        dim=ann_cfg["dim"], portable=False,
+                    )
+                    centroids = sim_ops.ivf_train(
+                        emb,
+                        n_centroids=ann_cfg["n_centroids"],
+                        n_iter=ann_cfg["n_iter"],
+                        id_col="doc_id",
+                    )
+                    # probe-side artifact, persisted beside the stage
+                    # parquet: a RESUMED stage skips build_ann, so the
+                    # file written by the original run is the contract
+                    with open(
+                        os.path.join(out_dir, "ann_index_centroids.json"), "w"
+                    ) as f:
+                        json.dump(centroids, f)
+                    return sim_ops.ivf_assign(emb, centroids)
+
+                ann_part = "_cent"
+
+            # the partition column ("_sig" sign buckets / "_cent" inverted
+            # lists) gives the stage parquet the exact partition-pruned
+            # layout build_ann_index / ivf_build write: probe-set filters
+            # touch only the probed buckets' directories. "kind" in the
+            # config makes switching layouts a fingerprint change, so a
+            # resume never serves one layout as the other.
             f_ann = ex.submit(
                 pipe.stage, "ann_index", build_ann,
-                upstream=["source"], config=ann_cfg, partition_by=["_sig"],
+                upstream=["source"], config=ann_cfg, partition_by=[ann_part],
             )
         glof = f_glof.result()
         postings = f_postings.result()
