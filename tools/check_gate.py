@@ -5,10 +5,13 @@ same parquet tables, comparing row count, column-name set, and an
 order-insensitive value comparison (columns sorted by name, rows sorted,
 exact match after float normalization) — the same shape as
 CORRECTNESS_r{N}.json. Usage:  python tools/check_gate.py [sf_dir] [names...]
+Set CHECK_GATE_JSON=<path> to also write a machine record
+{name: {"status", "rows", "sec", ...}} of the sweep.
 """
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
@@ -45,6 +48,7 @@ def main() -> None:
 
     qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
     n_pass = n_fail = 0
+    record: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -53,16 +57,19 @@ def main() -> None:
             sdf = fn(spark, sf).toPandas()
         except Exception as ex:  # noqa: BLE001
             print(f"FAIL  {name:28s} spark error: {type(ex).__name__}: {str(ex)[:300]}")
+            record[name] = {"status": "fail", "err": f"spark: {type(ex).__name__}"}
             n_fail += 1
             continue
         dt = time.time() - t0
         if name not in oracles:
             print(f"rows  {name:28s} {len(sdf):6d} rows   ({dt:5.1f}s, rows-only)")
+            record[name] = {"status": "rows-only", "rows": len(sdf), "sec": round(dt, 1)}
             continue
         try:
             odf = con.execute(oracles[name]).fetchdf()
         except Exception as ex:  # noqa: BLE001
             print(f"FAIL  {name:28s} oracle error: {str(ex)[:300]}")
+            record[name] = {"status": "fail", "err": f"oracle: {str(ex)[:200]}"}
             n_fail += 1
             continue
         s, o = normalize(sdf), normalize(odf)
@@ -81,11 +88,23 @@ def main() -> None:
                     print(pd.concat([s[neq].head(3), o[neq].head(3)], axis=1, keys=["spark", "oracle"]).to_string()[:800])
         if problems:
             print(f"FAIL  {name:28s} {'; '.join(problems)}   ({dt:5.1f}s)")
+            record[name] = {"status": "fail", "err": "; ".join(problems), "sec": round(dt, 1)}
             n_fail += 1
         else:
             print(f"pass  {name:28s} {len(s):6d} rows   ({dt:5.1f}s)")
+            record[name] = {"status": "pass", "rows": len(s), "sec": round(dt, 1)}
             n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail")
+    json_out = os.environ.get("CHECK_GATE_JSON")
+    if json_out:
+        import json as _json
+
+        with open(json_out, "w") as f:
+            _json.dump(
+                {"sf_dir": sf, "n_pass": n_pass, "n_fail": n_fail, "gates": record},
+                f,
+                indent=1,
+            )
     spark.stop()
     sys.exit(1 if n_fail else 0)
 
