@@ -1,20 +1,21 @@
-"""Interleaved A/B bench: round-3-tagged code vs HEAD, same noise window.
+"""Interleaved A/B bench: a tagged baseline commit vs HEAD, same noise
+window (round-4 VERDICT #1 protocol, kept as the per-round cadence —
+round-5 VERDICT #8).
 
-Round-4 VERDICT "Next round" #1: BENCH_r04 could not be compared to
-BENCH_r03 (different windows, 2 reps, single-shot kg leg). This driver
-runs the TWO CODE VERSIONS interleaved — cycle i runs r3's bench.py then
-HEAD's bench.py back-to-back — so every r3 sample has a HEAD sample in
-the same noise window. Per-query result is the MIN across cycles per
-version (the established co-tenant-noise filter, bench.py:12-19); the
-verdict per query is the HEAD/r3 ratio of those mins.
+Cycle i runs the baseline tree's bench.py then HEAD's bench.py
+back-to-back, so every baseline sample has a HEAD sample in the same
+noise window. Per-query result is the MIN across cycles per version
+(the established co-tenant-noise filter, bench.py:12-19); the verdict
+per query is the HEAD/baseline ratio of those mins.
 
 Each bench.py subprocess runs with SPARK_GRAFT_BENCH_REPS=1 (the cycles
 ARE the reps — in-process repetition would double wall-clock without
-adding cross-window coverage). The r3 tree is a plain `git worktree` of
-commit 5df9ee4; nothing is copied or patched.
+adding cross-window coverage). The baseline tree is a plain
+`git worktree` of the baseline commit; nothing is copied or patched.
 
-Usage: python tools/bench_ab.py [cycles] [r3_worktree]
-Writes BENCH_AB_R3_R5.json at the repo root.
+Usage: python tools/bench_ab.py [cycles] [base_worktree] [base_commit] \
+           [base_label] [out.json]
+Defaults reproduce the round-5 run (r3 @ 5df9ee4 -> BENCH_AB_R3_R5.json).
 """
 
 import json
@@ -24,7 +25,6 @@ import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-OUT = os.path.join(REPO, "BENCH_AB_R3_R5.json")
 
 
 def run_bench(tree: str, env: dict) -> dict:
@@ -48,7 +48,12 @@ def run_bench(tree: str, env: dict) -> dict:
 
 def main() -> None:
     cycles = int(sys.argv[1]) if len(sys.argv) > 1 else 3
-    r3_tree = sys.argv[2] if len(sys.argv) > 2 else "/tmp/r3wt"
+    base_tree = sys.argv[2] if len(sys.argv) > 2 else "/tmp/r3wt"
+    base_commit = sys.argv[3] if len(sys.argv) > 3 else "5df9ee4"
+    base_label = sys.argv[4] if len(sys.argv) > 4 else "r3"
+    out_path = (
+        sys.argv[5] if len(sys.argv) > 5 else os.path.join(REPO, "BENCH_AB_R3_R5.json")
+    )
     env = {
         **os.environ,
         "SPARK_GRAFT_BENCH_REPS": "1",
@@ -56,9 +61,9 @@ def main() -> None:
             "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
         ),
     }
-    samples: dict[str, list[dict]] = {"r3": [], "head": []}
+    samples: dict[str, list[dict]] = {base_label: [], "head": []}
     for c in range(cycles):
-        for label, tree in (("r3", r3_tree), ("head", REPO)):
+        for label, tree in ((base_label, base_tree), ("head", REPO)):
             t0 = time.time()
             rec = run_bench(tree, env)
             rec["_cycle"] = c
@@ -76,27 +81,28 @@ def main() -> None:
                 out[q] = min(out.get(q, t), t)
         return out
 
-    m3, mh = mins("r3"), mins("head")
+    m3, mh = mins(base_label), mins("head")
     shared = sorted(set(m3) & set(mh))
     ratios = {q: round(mh[q] / m3[q], 3) for q in shared if m3[q] > 0}
     report = {
         "protocol": (
-            f"{cycles} interleaved cycles (r3 then HEAD per cycle), REPS=1 per "
-            "subprocess, per-query min across cycles per version; ratio = "
-            "HEAD_min / r3_min"
+            f"{cycles} interleaved cycles ({base_label} then HEAD per cycle), "
+            "REPS=1 per subprocess, per-query min across cycles per version; "
+            f"ratio = HEAD_min / {base_label}_min"
         ),
-        "r3_commit": "5df9ee4",
-        "r3_min": m3,
+        "base_commit": base_commit,
+        "base_label": base_label,
+        "base_min": m3,
         "head_min": mh,
-        "ratio_head_over_r3": ratios,
+        "ratio_head_over_base": ratios,
         "median_ratio": sorted(ratios.values())[len(ratios) // 2] if ratios else None,
-        "e2e_min_r3": round(sum(m3.values()), 3),
+        "e2e_min_base": round(sum(m3.values()), 3),
         "e2e_min_head": round(sum(mh.values()), 3),
         "samples": samples,
     }
-    with open(OUT, "w") as f:
+    with open(out_path, "w") as f:
         json.dump(report, f, indent=1)
-    print(json.dumps({k: report[k] for k in ("median_ratio", "e2e_min_r3", "e2e_min_head")}))
+    print(json.dumps({k: report[k] for k in ("median_ratio", "e2e_min_base", "e2e_min_head")}))
 
 
 if __name__ == "__main__":
