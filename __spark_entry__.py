@@ -43,6 +43,29 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def _idx_cache_key(sf_dir: str, table: str, n: int = 12) -> str:
+    """Cache key for gate-built derived indexes = path + a stat fingerprint
+    of the source parquet (name, size, mtime of every part file), so
+    regenerated test data at the same path gets a fresh index instead of a
+    silently-stale one, and two processes over different data never share a
+    directory (round-5 ADVICE, applied to every gate index cache)."""
+    import hashlib
+
+    src = os.path.join(sf_dir, f"{table}.parquet")
+    h = hashlib.md5(os.path.abspath(sf_dir).encode())
+    parts = [src]
+    if os.path.isdir(src):
+        parts = [
+            os.path.join(dp, fn)
+            for dp, _dirs, fns in sorted(os.walk(src))
+            for fn in sorted(fns)
+        ]
+    for pth in parts:
+        st = os.stat(pth)
+        h.update(f"{os.path.basename(pth)}:{st.st_size}:{st.st_mtime_ns}".encode())
+    return h.hexdigest()[:n]
+
+
 def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, tok, ord, dl) — positional tokens of documents."""
     docs = _t(spark, sf_dir, "documents")
@@ -420,16 +443,19 @@ def q_bm25_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 scoring against the PERSISTED index — build is a separate
     stage (the reference loads a prebuilt bm25s index, kb_utils.py:895-918),
     so the gate measures query cost, not corpus indexing."""
-    import hashlib
-
-    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    key = _idx_cache_key(sf_dir, "documents")
     idx_path = os.path.join(tempfile.gettempdir(), f"spark_graft_bm25_idx_{key}")
     if os.path.exists(os.path.join(idx_path, "_bm25_stats.json")):
         tp, n_docs, avgdl = retrieval.load_bm25_index(spark, idx_path)
     else:
         docs = _t(spark, sf_dir, "documents")
         tp, n_docs, avgdl = retrieval.build_bm25_index(docs, idx_path)
-    return retrieval.bm25_score(tp, ["spark", "join", "window"], n_docs, avgdl)
+    # top_k=None: the oracle scores every matching doc, and a LIMIT at a
+    # score tie is nondeterministic across engines (first seen at sf1,
+    # where 48k docs match vs the 10k default cap)
+    return retrieval.bm25_score(
+        tp, ["spark", "join", "window"], n_docs, avgdl, top_k=None
+    )
 
 
 def q_lang_id_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -454,6 +480,13 @@ def q_fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.fingerprint(_t(spark, sf_dir, "documents")).select(
         "doc_id", "fingerprint"
     )
+
+
+def q_repetition_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals (ops/textstats.py
+    repetition_metrics): dup-line fractions + top-2/3-gram character
+    coverage — the LLM-training-data quality-filter family."""
+    return textstats.repetition_metrics(_t(spark, sf_dir, "documents"))
 
 
 # ----- merged driver gates (round 6) -----------------------------------------
@@ -485,14 +518,16 @@ def q_doc_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_textstats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """lang_id + quality + token_counts + fingerprint joined on doc_id
-    (inner: all four emit one row per doc with >=1 token; token-less docs
-    drop on both sides)."""
+    """lang_id + quality + token_counts + fingerprint + repetition joined
+    on doc_id (inner: each emits one row per doc with >=1 token — any
+    token lives on some non-empty line, so the repetition leg's >=1-line
+    domain is a superset; token-less docs drop on both sides)."""
     out = (
         q_lang_id_docs(spark, sf_dir)
         .join(q_quality_scores(spark, sf_dir), "doc_id")
         .join(q_token_counts(spark, sf_dir), "doc_id")
         .join(q_fingerprint_docs(spark, sf_dir), "doc_id")
+        .join(q_repetition_docs(spark, sf_dir), "doc_id")
     )
     return out
 
@@ -725,9 +760,7 @@ def q_ann_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 1).first()["embedding"]]
-    import hashlib
-
-    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    key = _idx_cache_key(sf_dir, "embeddings")
     idx_path = os.path.join(tempfile.gettempdir(), f"spark_graft_ann_idx_{key}")
     marker = os.path.join(idx_path, "_SUCCESS")
     if not os.path.exists(marker):
@@ -745,32 +778,17 @@ def q_ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition pruning (ivf_top_k). The gate probes ALL lists so the
     contract is exactness vs brute force; recall@nprobe<ALL and the
     pruning plan are pytest's job (tests/test_ops.py)."""
-    import hashlib
     import json
 
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 2).first()["embedding"]]
-    # cache key = path + a stat fingerprint of the source parquet (name,
-    # size, mtime of every part file): regenerated test data at the same
-    # path gets a fresh index instead of a silently-stale one, and two
-    # processes over different data never share a directory (round-5
-    # ADVICE). Same-data races are settled by the atomic rename below.
-    src = os.path.join(sf_dir, "embeddings.parquet")
-    h = hashlib.md5(os.path.abspath(sf_dir).encode())
-    parts = [src]
-    if os.path.isdir(src):
-        parts = [
-            os.path.join(dp, fn)
-            for dp, _dirs, fns in sorted(os.walk(src))
-            for fn in sorted(fns)
-        ]
-    for pth in parts:
-        st = os.stat(pth)
-        h.update(f"{os.path.basename(pth)}:{st.st_size}:{st.st_mtime_ns}".encode())
+    # stat-fingerprinted cache key (round-5 ADVICE; see _idx_cache_key).
+    # Same-data races are settled by the atomic rename below.
     idx_root = os.path.join(
-        tempfile.gettempdir(), f"spark_graft_ivf_idx_{h.hexdigest()[:12]}"
+        tempfile.gettempdir(),
+        f"spark_graft_ivf_idx_{_idx_cache_key(sf_dir, 'embeddings')}",
     )
     cent_path = os.path.join(idx_root, "_centroids.json")
     if not os.path.exists(cent_path):
@@ -1736,6 +1754,54 @@ SELECT doc_id, (sum(({MD5_SQL.format(x='tok')} % {M31}) * ord) % {M31})::BIGINT 
 FROM toks WHERE ord <= 64 GROUP BY doc_id
 """
 
+    # Gopher-style repetition signals; FILTERED tokens (len>0) like the
+    # Spark side's _tokens, lines split on literal \n
+    ftoks = f"list_filter({TOKS_SQL}, t -> len(t) > 0)"
+
+    def _gram_cte(n: int) -> str:
+        return f"""
+g{n} AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(tks) >= {n}
+         THEN list_transform(generate_series(1, len(tks) - {n - 1}),
+                             i -> array_to_string(tks[i:i+{n - 1}], ' '))
+         ELSE []::VARCHAR[] END) AS gram
+  FROM tk),
+c{n} AS (SELECT doc_id, gram, count(*) AS cnt FROM g{n} GROUP BY doc_id, gram),
+t{n} AS (
+  SELECT doc_id, gram, cnt,
+         row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram ASC) AS rn
+  FROM c{n})"""
+
+    sql["repetition_docs"] = f"""
+WITH tk AS (
+  SELECT doc_id, length(text)::BIGINT AS n_chars,
+         list_filter(string_split(text, chr(10)), l -> len(l) > 0) AS lns,
+         {ftoks} AS tks
+  FROM documents
+),
+lo AS (SELECT doc_id, unnest(lns) AS line FROM tk),
+lc AS (SELECT doc_id, line, count(*) AS cnt FROM lo GROUP BY doc_id, line),
+lstat AS (
+  SELECT doc_id, sum(cnt)::BIGINT AS n_lines,
+         round(1.0 - count(*)::DOUBLE / sum(cnt), 6) AS dup_line_frac,
+         round((sum(cnt * length(line)) - sum(length(line)))::DOUBLE
+               / greatest(sum(cnt * length(line)), 1), 6) AS dup_line_char_frac
+  FROM lc GROUP BY doc_id
+),{_gram_cte(2)},{_gram_cte(3)}
+SELECT l.doc_id, l.n_lines, l.dup_line_frac, l.dup_line_char_frac,
+       coalesce(t2.gram, '') AS top_2gram,
+       round(coalesce(t2.cnt * length(t2.gram)::DOUBLE
+                      / greatest(k.n_chars, 1), 0.0), 6) AS top_2gram_frac,
+       coalesce(t3.gram, '') AS top_3gram,
+       round(coalesce(t3.cnt * length(t3.gram)::DOUBLE
+                      / greatest(k.n_chars, 1), 0.0), 6) AS top_3gram_frac
+FROM lstat l
+JOIN tk k ON l.doc_id = k.doc_id
+LEFT JOIN t2 ON l.doc_id = t2.doc_id AND t2.rn = 1
+LEFT JOIN t3 ON l.doc_id = t3.doc_id AND t3.rn = 1
+"""
+
     sql["mesh_bfs"] = """
 SELECT 1::BIGINT AS node, 0 AS depth
 UNION ALL SELECT p_partkey, 1 FROM part WHERE p_partkey BETWEEN 2 AND 3
@@ -2372,11 +2438,14 @@ FROM ({sql["simhash_docs"]})
     sql["textstats_docs"] = f"""
 SELECT l.doc_id, l.pred_lang, l.lang_hits,
        q.n_tokens, q.avg_token_len, q.punct_ratio, q.stopword_ratio, q.quality,
-       t.ws_tokens, t.bpe_tokens, fp.fingerprint
+       t.ws_tokens, t.bpe_tokens, fp.fingerprint,
+       r.n_lines, r.dup_line_frac, r.dup_line_char_frac,
+       r.top_2gram, r.top_2gram_frac, r.top_3gram, r.top_3gram_frac
 FROM ({sql["lang_id_docs"]}) l
 JOIN ({sql["quality_scores"]}) q ON l.doc_id = q.doc_id
 JOIN ({sql["token_counts"]}) t ON l.doc_id = t.doc_id
 JOIN ({sql["fingerprint_docs"]}) fp ON l.doc_id = fp.doc_id
+JOIN ({sql["repetition_docs"]}) r ON l.doc_id = r.doc_id
 """
 
     sql["anti_semi_customers"] = f"""

@@ -81,6 +81,8 @@ def main() -> None:
         # round-5 operators
         "ivf_cosine_topk",
         "user_sessions",
+        # round-6 operators
+        "repetition_docs",
     ]
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
     # round 6 merged some queries() entries to fit the driver's 50-gate cap;

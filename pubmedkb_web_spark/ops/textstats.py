@@ -97,6 +97,100 @@ def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def _ngrams(toks: Column, n: int) -> Column:
+    # sequence(1, k) DESCENDS when k < 1 (Spark default step -1), so the
+    # short-document case must be guarded, not clamped
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_metrics(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram_ns: tuple[int, ...] = (2, 3),
+) -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021, table A1) — the
+    quality-filter family the reference has no counterpart for, added for
+    the LLM-training-data story:
+
+    - ``n_lines`` / ``dup_line_frac`` / ``dup_line_char_frac``: non-empty
+      ``\\n``-lines; fraction of line OCCURRENCES beyond the first of their
+      content, and the character-mass fraction of those repeats.
+    - ``top_{n}gram`` / ``top_{n}gram_frac`` per n in ``ngram_ns``: the most
+      frequent word n-gram (ties → lexicographically smallest) and the
+      fraction of the document's characters its occurrences cover
+      (count * len(gram) / len(text)); 0.0 / '' when the doc has < n tokens.
+
+    Shape at scale: explode → two-level groupBy per leg (map-side partial
+    aggregation, shuffle keyed on (id, unit) then id — no corpus-wide
+    window), one left join per n-gram order on the id (broadcast-eligible
+    when the corpus side is small; same-key shuffles otherwise). Output is
+    one row per document with >= 1 non-empty line.
+    """
+    total_chars = F.length(F.col(text_col)).cast("long")
+    base = df.select(F.col(id_col), F.col(text_col), total_chars.alias("_n_chars"))
+
+    lines = base.select(
+        id_col,
+        "_n_chars",
+        F.explode(
+            F.filter(F.split(F.col(text_col), "\n"), lambda l: F.length(l) > 0)
+        ).alias("_line"),
+    )
+    per_line = lines.groupBy(id_col, "_n_chars", "_line").agg(
+        F.count(F.lit(1)).alias("_cnt")
+    )
+    occ_chars = F.sum(F.col("_cnt") * F.length("_line"))
+    out = per_line.groupBy(id_col).agg(
+        F.first("_n_chars").alias("_n_chars"),
+        F.sum("_cnt").cast("long").alias("n_lines"),
+        F.round(F.lit(1.0) - F.count(F.lit(1)) / F.sum("_cnt"), 6).alias(
+            "dup_line_frac"
+        ),
+        F.round(
+            (occ_chars - F.sum(F.length("_line")))
+            / F.greatest(occ_chars, F.lit(1)),
+            6,
+        ).alias("dup_line_char_frac"),
+    )
+
+    for n in ngram_ns:
+        grams = base.select(
+            id_col,
+            F.explode(_ngrams(_tokens(text_col), n)).alias("_gram"),
+        )
+        counts = grams.groupBy(id_col, "_gram").agg(F.count(F.lit(1)).alias("_cnt"))
+        # min over (neg count, gram) = highest count, lexicographic tiebreak
+        top = counts.groupBy(id_col).agg(
+            F.min(F.struct((-F.col("_cnt")).alias("n"), F.col("_gram").alias("g"))).alias(
+                "_top"
+            )
+        )
+        out = (
+            out.join(top, id_col, "left")
+            .withColumn(f"top_{n}gram", F.coalesce(F.col("_top.g"), F.lit("")))
+            .withColumn(
+                f"top_{n}gram_frac",
+                F.round(
+                    F.coalesce(
+                        (-F.col("_top.n")) * F.length("_top.g")
+                        / F.greatest(F.col("_n_chars"), F.lit(1)),
+                        F.lit(0.0),
+                    ),
+                    6,
+                ),
+            )
+            .drop("_top")
+        )
+    return out.drop("_n_chars")
+
+
 def fingerprint(
     df: DataFrame, text_col: str = "text", max_tokens: int = 64, portable: bool = True
 ) -> DataFrame:

@@ -94,9 +94,12 @@ def bm25_score(
     avgdl: float,
     k1: float = BM25_K1,
     b: float = BM25_B,
-    top_k: int = 10_000,
+    top_k: int | None = 10_000,
 ) -> DataFrame:
     """Score all docs containing any query term; top_k by (score desc, doc asc).
+    ``top_k=None`` returns every scored doc (no global sort-limit) — the
+    exact-comparison shape gates need, since a LIMIT at a score tie is
+    nondeterministic across engines.
 
     df(term) is computed on the pruned postings (only query terms survive
     the scan thanks to the pushed isin filter).
@@ -111,13 +114,14 @@ def bm25_score(
     tf_part = (F.col("tf") * (k1 + 1)) / (
         F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.lit(float(avgdl)))
     )
-    return (
+    out = (
         scored.withColumn("term_score", F.col("idf") * tf_part)
         .groupBy("doc_id")
         .agg(F.round(F.sum("term_score"), 6).alias("bm25"))
-        .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
-        .limit(top_k)
     )
+    if top_k is None:
+        return out
+    return out.orderBy(F.col("bm25").desc(), F.col("doc_id").asc()).limit(top_k)
 
 
 def rrf_fuse(

@@ -173,6 +173,40 @@ def test_quality_and_token_counts(spark):
     assert t["bpe_tokens"] == 10  # 7 words + the 3 punctuation marks
 
 
+def test_repetition_metrics(spark):
+    # doc 1: 4 lines, "dup dup" twice (16 chars of 31 line-chars duplicated
+    # beyond first occurrence contributes 8/24); top 2-gram "dup dup"
+    rows = [
+        (1, "dup dup\nunique line\ndup dup\n"),
+        (2, "a b a b a b c"),  # top 2-gram 'a b' x3 (ties: 'b a' x2)
+        (3, "solo"),  # 1 token: no 2-grams → frac 0.0, gram ''
+        (4, "z\nz\nz"),  # all lines duplicate
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r.asDict() for r in textstats.repetition_metrics(df).collect()}
+
+    r1 = out[1]
+    assert r1["n_lines"] == 3
+    assert r1["dup_line_frac"] == round(1 - 2 / 3, 6)
+    # line chars: dup dup(7)*2 + unique line(11) = 25; repeats beyond first = 7
+    assert r1["dup_line_char_frac"] == round(7 / 25, 6)
+    assert r1["top_2gram"] == "dup dup"
+    # 2 occurrences * 7 chars / 28 text chars
+    assert r1["top_2gram_frac"] == round(2 * 7 / 28, 6)
+
+    r2 = out[2]
+    assert r2["top_2gram"] == "a b" and r2["top_2gram_frac"] == round(3 * 3 / 13, 6)
+    assert r2["top_3gram"] == "a b a"  # x2 beats 'b a b' x2 lexicographically
+
+    r3 = out[3]
+    assert r3["top_2gram"] == "" and r3["top_2gram_frac"] == 0.0
+    assert r3["dup_line_frac"] == 0.0
+
+    r4 = out[4]
+    assert r4["n_lines"] == 3 and r4["dup_line_frac"] == round(1 - 1 / 3, 6)
+    assert r4["dup_line_char_frac"] == round(2 / 3, 6)
+
+
 def test_fingerprint_order_sensitive(spark):
     df = spark.createDataFrame(
         [(1, "alpha beta gamma"), (2, "gamma beta alpha"), (3, "alpha beta gamma")],

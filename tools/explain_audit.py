@@ -51,6 +51,9 @@ EXPECT = {
         ["TakeOrderedAndProject", "PartitionFilters"],
         ["BatchEvalPython", "ArrowEvalPython"],
     ),
+    # round-6: repetition metrics are explode → two-level hash aggregation
+    # (map-side partial combine), all JVM
+    "repetition_docs": (["HashAggregate"], ["BatchEvalPython", "ArrowEvalPython"]),
 }
 
 
