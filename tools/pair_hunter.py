@@ -15,6 +15,9 @@ Each completed pair appends to PAIR_HUNT.jsonl:
 Stops after max_pairs or when a pair reaches the target efficiency.
 
 Usage: python tools/pair_hunter.py [max_pairs] [target_eff]
+Env: PAIR_HUNT_DOCS overrides the corpus size (default 1600000); each
+pair record carries both legs' triple counts and their equality (the
+determinism-across-core-counts check at that size).
 """
 
 from __future__ import annotations
@@ -63,11 +66,14 @@ def last_leg() -> dict:
         return json.loads(f.readlines()[-1])
 
 
+N_DOCS = int(os.environ.get("PAIR_HUNT_DOCS", "1600000"))
+
+
 def run_leg(cores: int) -> tuple[dict, list[float]]:
     meter = StealMeter()
     meter.start()
     subprocess.run(
-        [sys.executable, os.path.join(REPO, "tools", "scaling_leg.py"), str(cores), "1600000"],
+        [sys.executable, os.path.join(REPO, "tools", "scaling_leg.py"), str(cores), str(N_DOCS)],
         cwd=REPO,
         stdout=subprocess.DEVNULL,
         stderr=subprocess.DEVNULL,
@@ -86,8 +92,12 @@ def main() -> None:
         eff = round(leg2["sec"] / (4 * leg8["sec"]), 3)
         rec = {
             "pair": i,
+            "n_docs": N_DOCS,
             "t2": leg2["sec"],
             "t8": leg8["sec"],
+            "triples_2": leg2.get("triples"),
+            "triples_8": leg8.get("triples"),
+            "triples_match": leg2.get("triples") == leg8.get("triples"),
             "efficiency": eff,
             "steal_mean_2": round(sum(st2) / len(st2), 2) if st2 else None,
             "steal_max_2": max(st2) if st2 else None,
@@ -98,12 +108,14 @@ def main() -> None:
         with open(OUT, "a") as f:
             f.write(json.dumps(rec) + "\n")
         print(json.dumps(rec), flush=True)
-        if eff >= target and leg8["sec"] < 400 and leg2["sec"] < 900:
+        scale = N_DOCS / 1600000.0
+        if eff >= target and leg8["sec"] < 400 * scale and leg2["sec"] < 900 * scale:
             # efficiency >= target AND BOTH legs in their calm bands.
             # Certifying only t8 would let a noise-inflated t2 fake high
             # efficiency (eff = t2 / (4*t8) grows with t2); the calm
-            # bands come from the round-4/5 sample history (calm t2
-            # ~800 s, calm t8 ~250 s, noisy legs 1.5-3x that).
+            # bands come from the round-4/5 sample history at 1.6M docs
+            # (calm t2 ~800 s, calm t8 ~250 s, noisy legs 1.5-3x that),
+            # scaled linearly for other PAIR_HUNT_DOCS sizes.
             print("target met in a certified-calm window", flush=True)
             break
 
