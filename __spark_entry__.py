@@ -517,17 +517,26 @@ def q_doc_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mh.unionByName(sh)
 
 
+def q_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule-based boolean quality filters (ops/textstats.py
+    gopher_filters): published thresholds, per-rule booleans on rounded
+    measures + gopher_keep."""
+    return textstats.gopher_filters(_t(spark, sf_dir, "documents"))
+
+
 def q_textstats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """lang_id + quality + token_counts + fingerprint + repetition joined
-    on doc_id (inner: each emits one row per doc with >=1 token — any
-    token lives on some non-empty line, so the repetition leg's >=1-line
-    domain is a superset; token-less docs drop on both sides)."""
+    """lang_id + quality + token_counts + fingerprint + repetition +
+    gopher-rule filters joined on doc_id (inner: each emits one row per
+    doc with >=1 token — any token lives on some non-empty line, so the
+    repetition leg's >=1-line domain is a superset; the gopher leg is
+    all-docs, a superset; token-less docs drop on both sides)."""
     out = (
         q_lang_id_docs(spark, sf_dir)
         .join(q_quality_scores(spark, sf_dir), "doc_id")
         .join(q_token_counts(spark, sf_dir), "doc_id")
         .join(q_fingerprint_docs(spark, sf_dir), "doc_id")
         .join(q_repetition_docs(spark, sf_dir), "doc_id")
+        .join(q_gopher_filters(spark, sf_dir), "doc_id")
     )
     return out
 
@@ -1802,6 +1811,51 @@ LEFT JOIN t2 ON l.doc_id = t2.doc_id AND t2.rn = 1
 LEFT JOIN t3 ON l.doc_id = t3.doc_id AND t3.rn = 1
 """
 
+    # Gopher rule-based filters (ops/textstats.py gopher_filters): published
+    # thresholds; booleans computed on the ROUNDED measures exactly like the
+    # Spark side so boundary values are engine-portable
+    sql["gopher_filters"] = f"""
+WITH tk AS (
+  SELECT doc_id, text,
+         {ftoks} AS tks,
+         list_filter(string_split(text, chr(10)), l -> len(trim(l)) > 0) AS lns
+  FROM documents
+),
+meas AS (
+  SELECT doc_id,
+         len(tks)::BIGINT AS word_count,
+         round(coalesce(list_sum(list_transform(tks, t -> len(t))), 0)::DOUBLE
+               / greatest(len(tks), 1), 6) AS mean_word_len,
+         round(((length(text) - length(replace(text, '#', '')))
+                + (length(text) - length(replace(text, '...', ''))) / 3.0)
+               / greatest(len(tks), 1), 6) AS symbol_word_ratio,
+         round(len(list_filter(lns, l -> regexp_matches(l, '^\\s*[-*•]')))::DOUBLE
+               / greatest(len(lns), 1), 6) AS bullet_line_frac,
+         round(len(list_filter(lns, l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*$')))::DOUBLE
+               / greatest(len(lns), 1), 6) AS ellipsis_line_frac,
+         round(len(list_filter(tks, t -> regexp_matches(t, '[a-z]')))::DOUBLE
+               / greatest(len(tks), 1), 6) AS alpha_word_frac,
+         len(list_filter(tks, t -> t IN ({stop_in})))::BIGINT AS n_stopwords
+  FROM tk
+)
+SELECT *,
+       (word_count >= 50 AND word_count <= 100000) AS pass_word_count,
+       (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS pass_mean_word_len,
+       (symbol_word_ratio <= 0.1) AS pass_symbol_ratio,
+       (bullet_line_frac <= 0.9) AS pass_bullet_lines,
+       (ellipsis_line_frac <= 0.3) AS pass_ellipsis_lines,
+       (alpha_word_frac >= 0.8) AS pass_alpha_words,
+       (n_stopwords >= 2) AS pass_stopwords,
+       ((word_count >= 50 AND word_count <= 100000)
+        AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+        AND (symbol_word_ratio <= 0.1)
+        AND (bullet_line_frac <= 0.9)
+        AND (ellipsis_line_frac <= 0.3)
+        AND (alpha_word_frac >= 0.8)
+        AND (n_stopwords >= 2)) AS gopher_keep
+FROM meas
+"""
+
     sql["mesh_bfs"] = """
 SELECT 1::BIGINT AS node, 0 AS depth
 UNION ALL SELECT p_partkey, 1 FROM part WHERE p_partkey BETWEEN 2 AND 3
@@ -2440,12 +2494,18 @@ SELECT l.doc_id, l.pred_lang, l.lang_hits,
        q.n_tokens, q.avg_token_len, q.punct_ratio, q.stopword_ratio, q.quality,
        t.ws_tokens, t.bpe_tokens, fp.fingerprint,
        r.n_lines, r.dup_line_frac, r.dup_line_char_frac,
-       r.top_2gram, r.top_2gram_frac, r.top_3gram, r.top_3gram_frac
+       r.top_2gram, r.top_2gram_frac, r.top_3gram, r.top_3gram_frac,
+       g.word_count, g.mean_word_len, g.symbol_word_ratio, g.bullet_line_frac,
+       g.ellipsis_line_frac, g.alpha_word_frac, g.n_stopwords,
+       g.pass_word_count, g.pass_mean_word_len, g.pass_symbol_ratio,
+       g.pass_bullet_lines, g.pass_ellipsis_lines, g.pass_alpha_words,
+       g.pass_stopwords, g.gopher_keep
 FROM ({sql["lang_id_docs"]}) l
 JOIN ({sql["quality_scores"]}) q ON l.doc_id = q.doc_id
 JOIN ({sql["token_counts"]}) t ON l.doc_id = t.doc_id
 JOIN ({sql["fingerprint_docs"]}) fp ON l.doc_id = fp.doc_id
 JOIN ({sql["repetition_docs"]}) r ON l.doc_id = r.doc_id
+JOIN ({sql["gopher_filters"]}) g ON l.doc_id = g.doc_id
 """
 
     sql["anti_semi_customers"] = f"""

@@ -83,6 +83,7 @@ def main() -> None:
         "user_sessions",
         # round-6 operators
         "repetition_docs",
+        "gopher_filters",
     ]
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
     # round 6 merged some queries() entries to fit the driver's 50-gate cap;

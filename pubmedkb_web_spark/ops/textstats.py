@@ -191,6 +191,100 @@ def repetition_metrics(
     return out.drop("_n_chars")
 
 
+def gopher_filters(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stopwords: int = 2,
+) -> DataFrame:
+    """Gopher rule-based quality filters (Rae et al. 2021, table A1) —
+    the boolean keep/drop companion to :func:`quality_score` (blended
+    score) and :func:`repetition_metrics` (repetition signals). Defaults
+    are the published thresholds.
+
+    Per document: the raw measures, one boolean per rule computed on the
+    ROUNDED measure (so the comparisons are engine-portable at boundary
+    values), and ``gopher_keep`` = AND of all rules:
+
+    - ``word_count`` in [``min_words``, ``max_words``]
+    - ``mean_word_len`` (token-length mean, not chars/tokens) in
+      [``min_mean_word_len``, ``max_mean_word_len``]
+    - ``symbol_word_ratio`` ('#' chars + '...' occurrences per word)
+      <= ``max_symbol_word_ratio``
+    - ``bullet_line_frac`` / ``ellipsis_line_frac`` over non-empty lines
+      <= their maxima (lines starting with -, *, or • / ending with
+      '...' or '…')
+    - ``alpha_word_frac`` (words containing a letter) >=
+      ``min_alpha_word_frac``
+    - ``n_stopwords`` >= ``min_stopwords`` (the "required words" rule,
+      over :data:`STOPWORDS`)
+
+    Shape at scale: pure column expressions over one scan — map-only, no
+    shuffle, whole-stage codegen; at 100 TB this is the cheap first pass
+    that drops documents before any shuffling operator sees them.
+    """
+    toks = _tokens(text_col)
+    n = F.size(toks).cast("long")
+    safe_n = F.greatest(n, F.lit(1))
+    text = F.col(text_col)
+    mean_len = F.round(
+        F.aggregate(toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t)) / safe_n,
+        6,
+    )
+    n_hash = F.length(text) - F.length(F.regexp_replace(text, r"#", ""))
+    n_ellipsis = (
+        F.length(text) - F.length(F.regexp_replace(text, r"\.\.\.", ""))
+    ) / 3
+    symbol_ratio = F.round((n_hash + n_ellipsis) / safe_n, 6)
+    lines = F.filter(F.split(text, "\n"), lambda l: F.length(F.trim(l)) > 0)
+    n_lines = F.greatest(F.size(lines), F.lit(1))
+    bullet_frac = F.round(
+        F.size(F.filter(lines, lambda l: l.rlike(r"^\s*[-*•]"))) / n_lines, 6
+    )
+    ellipsis_frac = F.round(
+        F.size(F.filter(lines, lambda l: l.rlike(r"(\.\.\.|…)\s*$"))) / n_lines, 6
+    )
+    alpha_frac = F.round(
+        F.size(F.filter(toks, lambda t: t.rlike(r"[a-z]"))) / safe_n, 6
+    )
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS))).cast("long")
+
+    out = df.select(
+        id_col,
+        n.alias("word_count"),
+        mean_len.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_word_ratio"),
+        bullet_frac.alias("bullet_line_frac"),
+        ellipsis_frac.alias("ellipsis_line_frac"),
+        alpha_frac.alias("alpha_word_frac"),
+        n_stop.alias("n_stopwords"),
+    )
+    rules = {
+        "pass_word_count": (F.col("word_count") >= min_words)
+        & (F.col("word_count") <= max_words),
+        "pass_mean_word_len": (F.col("mean_word_len") >= min_mean_word_len)
+        & (F.col("mean_word_len") <= max_mean_word_len),
+        "pass_symbol_ratio": F.col("symbol_word_ratio") <= max_symbol_word_ratio,
+        "pass_bullet_lines": F.col("bullet_line_frac") <= max_bullet_line_frac,
+        "pass_ellipsis_lines": F.col("ellipsis_line_frac") <= max_ellipsis_line_frac,
+        "pass_alpha_words": F.col("alpha_word_frac") >= min_alpha_word_frac,
+        "pass_stopwords": F.col("n_stopwords") >= min_stopwords,
+    }
+    keep = F.lit(True)
+    for name, cond in rules.items():
+        out = out.withColumn(name, cond)
+        keep = keep & cond
+    return out.withColumn("gopher_keep", keep)
+
+
 def fingerprint(
     df: DataFrame, text_col: str = "text", max_tokens: int = 64, portable: bool = True
 ) -> DataFrame:

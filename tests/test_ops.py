@@ -207,6 +207,54 @@ def test_repetition_metrics(spark):
     assert r4["dup_line_char_frac"] == round(2 / 3, 6)
 
 
+def test_gopher_filters(spark):
+    # published Gopher thresholds; measures + per-rule booleans + keep
+    long_ok = "the cats sats on mats and rats in hats " * 6  # 54 words, all pass
+    rows = [
+        (1, long_ok),
+        (2, "the of in"),  # 3 words: fails word_count (and mean len 2.0)
+        (3, "- the one\n- the two\n- the three"),  # 100% bullet lines
+        (4, "the story goes on...\nand on...\nnever ends"),  # 2/3 ellipsis ends
+        (5, "# " * 60 + "the of"),  # symbol ratio 60/62, alpha frac 2/62
+        (6, ""),  # empty doc: 0 words, every frac 0
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r.asDict() for r in textstats.gopher_filters(df).collect()}
+
+    r1 = out[1]
+    assert r1["word_count"] == 54
+    assert r1["mean_word_len"] == round((3 + 4 + 4 + 2 + 4 + 3 + 4 + 2 + 4) / 9, 6)
+    assert r1["symbol_word_ratio"] == 0.0
+    assert r1["bullet_line_frac"] == 0.0 and r1["ellipsis_line_frac"] == 0.0
+    assert r1["alpha_word_frac"] == 1.0 and r1["n_stopwords"] >= 2
+    assert r1["gopher_keep"] is True
+
+    r2 = out[2]
+    assert r2["word_count"] == 3 and r2["pass_word_count"] is False
+    assert r2["mean_word_len"] == round(7 / 3, 6) and r2["pass_mean_word_len"] is False
+    assert r2["gopher_keep"] is False
+
+    r3 = out[3]
+    assert r3["bullet_line_frac"] == 1.0 and r3["pass_bullet_lines"] is False
+
+    r4 = out[4]
+    assert r4["ellipsis_line_frac"] == round(2 / 3, 6)
+    assert r4["pass_ellipsis_lines"] is False
+    # '...' occurrences count into the symbol ratio: 2 of 8 words
+    assert r4["symbol_word_ratio"] == round(2 / 8, 6)
+
+    r5 = out[5]
+    assert r5["word_count"] == 62
+    assert r5["symbol_word_ratio"] == round(60 / 62, 6)
+    assert r5["pass_symbol_ratio"] is False
+    assert r5["alpha_word_frac"] == round(2 / 62, 6)
+    assert r5["pass_alpha_words"] is False
+
+    r6 = out[6]
+    assert r6["word_count"] == 0 and r6["mean_word_len"] == 0.0
+    assert r6["bullet_line_frac"] == 0.0 and r6["gopher_keep"] is False
+
+
 def test_fingerprint_order_sensitive(spark):
     df = spark.createDataFrame(
         [(1, "alpha beta gamma"), (2, "gamma beta alpha"), (3, "alpha beta gamma")],

@@ -54,6 +54,8 @@ EXPECT = {
     # round-6: repetition metrics are explode → two-level hash aggregation
     # (map-side partial combine), all JVM
     "repetition_docs": (["HashAggregate"], ["BatchEvalPython", "ArrowEvalPython"]),
+    # round-6: gopher rule filters are pure map-only column expressions
+    "gopher_filters": ([], ["BatchEvalPython", "ArrowEvalPython", "Exchange"]),
 }
 
 

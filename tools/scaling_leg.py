@@ -64,10 +64,15 @@ def main() -> None:
     shuffle = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "0")) or max(
         4 * int(cores), n_docs // 12500
     )
+    # default 20 g (flat across core counts — the r3-measured best for both
+    # levels). SPARK_GRAFT_HEAP_G overrides for the per-core-constant-memory
+    # cluster analog (N and 4N executors each keep the same memory PER CORE,
+    # so the low-core leg gets proportionally less total heap).
+    heap_g = int(os.environ.get("SPARK_GRAFT_HEAP_G", "20"))
     spark = build_session(
         cores=cores,
         shuffle_partitions=shuffle,
-        driver_memory="20g",
+        driver_memory=f"{heap_g}g",
         extra_conf=extra,
     )
     out = tempfile.mkdtemp(dir=base)
@@ -84,7 +89,7 @@ def main() -> None:
         "triples": n,
         "tps": round(n / dt, 1),
         "tmpfs": tmpfs,
-        "heap_g": 20,
+        "heap_g": heap_g,
         "shuffle_partitions": shuffle,
         "advisory": advisory,
         "stages": stages,
