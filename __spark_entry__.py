@@ -524,12 +524,25 @@ def q_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.gopher_filters(_t(spark, sf_dir, "documents"))
 
 
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex PII detect + redact (ops/textstats.py pii_scrub): email →
+    IPv4 → phone, order-defined sequential replacement."""
+    return textstats.pii_scrub(_t(spark, sf_dir, "documents"))
+
+
+def q_c4_line_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line-level cleaning (ops/textstats.py c4_line_filters):
+    kept-line stats, cleaned text, page-level keep decision."""
+    return textstats.c4_line_filters(_t(spark, sf_dir, "documents"))
+
+
 def q_textstats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lang_id + quality + token_counts + fingerprint + repetition +
-    gopher-rule filters joined on doc_id (inner: each emits one row per
-    doc with >=1 token — any token lives on some non-empty line, so the
-    repetition leg's >=1-line domain is a superset; the gopher leg is
-    all-docs, a superset; token-less docs drop on both sides)."""
+    gopher-rule filters + PII scrub + C4 line filters joined on doc_id
+    (inner: each emits one row per doc with >=1 token — any token lives
+    on some non-empty line, so the repetition leg's >=1-line domain is a
+    superset; the gopher/pii/c4 legs are all-docs, supersets; token-less
+    docs drop on both sides)."""
     out = (
         q_lang_id_docs(spark, sf_dir)
         .join(q_quality_scores(spark, sf_dir), "doc_id")
@@ -537,6 +550,8 @@ def q_textstats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(q_fingerprint_docs(spark, sf_dir), "doc_id")
         .join(q_repetition_docs(spark, sf_dir), "doc_id")
         .join(q_gopher_filters(spark, sf_dir), "doc_id")
+        .join(q_pii_scrub(spark, sf_dir), "doc_id")
+        .join(q_c4_line_filters(spark, sf_dir), "doc_id")
     )
     return out
 
@@ -1856,6 +1871,71 @@ SELECT *,
 FROM meas
 """
 
+    # PII scrub (ops/textstats.py pii_scrub): sequential order-defined
+    # replacement — email, then IPv4 on the email-redacted text, then
+    # phone on the IP-redacted text (regexes are in the Java∩RE2 subset)
+    sql["pii_scrub"] = """
+WITH s1 AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))::BIGINT AS n_emails,
+         regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g') AS t1
+  FROM documents
+),
+s2 AS (
+  SELECT doc_id, n_emails,
+         len(regexp_extract_all(t1, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))::BIGINT AS n_ipv4,
+         regexp_replace(t1, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '[IPV4]', 'g') AS t2
+  FROM s1
+)
+SELECT doc_id, n_emails, n_ipv4,
+       len(regexp_extract_all(t2, '\\+?\\d[\\d()\\-.]{5,}\\d'))::BIGINT AS n_phones,
+       (n_emails + n_ipv4
+        + len(regexp_extract_all(t2, '\\+?\\d[\\d()\\-.]{5,}\\d')))::BIGINT AS pii_total,
+       regexp_replace(t2, '\\+?\\d[\\d()\\-.]{5,}\\d', '[PHONE]', 'g') AS pii_redacted
+FROM s2
+"""
+
+    # C4 line filters (ops/textstats.py c4_line_filters): line kept iff
+    # trimmed line ends in terminal punct, has >=3 whitespace words, and
+    # lacks 'javascript'; page keep needs >=5 sentence marks in the kept
+    # text and no lorem-ipsum / '{' / blocklist word in the raw text
+    badpat = r"\b(" + "|".join(textstats.C4_BADWORDS) + r")\b"
+    sql["c4_line_filters"] = f"""
+WITH lns AS (
+  SELECT doc_id, text,
+         list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+                     l -> len(l) > 0) AS lines
+  FROM documents
+),
+kept AS (
+  SELECT doc_id, text, lines,
+         -- array_to_string is NULL (not '') on an empty list; Spark's
+         -- concat_ws yields '' — coalesce for parity
+         coalesce(array_to_string(
+           list_filter(lines, l ->
+             regexp_matches(l, '[.!?"]$')
+             AND len(list_filter(string_split_regex(l, '\\s+'), t -> len(t) > 0)) >= 3
+             AND NOT contains(lower(l), 'javascript')),
+           chr(10)), '') AS clean_text
+  FROM lns
+)
+SELECT doc_id,
+       len(lines)::BIGINT AS c4_n_lines,
+       CASE WHEN clean_text = '' THEN 0
+            ELSE len(string_split(clean_text, chr(10))) END::BIGINT AS c4_kept_lines,
+       round(length(clean_text)::DOUBLE / greatest(length(text), 1), 6) AS c4_kept_char_frac,
+       len(regexp_extract_all(clean_text, '[.!?]'))::BIGINT AS c4_n_sentences,
+       contains(lower(text), 'lorem ipsum') AS c4_has_lorem,
+       contains(text, '{{') AS c4_has_brace,
+       regexp_matches(lower(text), '{badpat}') AS c4_has_badword,
+       (len(regexp_extract_all(clean_text, '[.!?]')) >= 5
+        AND NOT contains(lower(text), 'lorem ipsum')
+        AND NOT contains(text, '{{')
+        AND NOT regexp_matches(lower(text), '{badpat}')) AS c4_keep,
+       clean_text AS c4_clean_text
+FROM kept
+"""
+
     sql["mesh_bfs"] = """
 SELECT 1::BIGINT AS node, 0 AS depth
 UNION ALL SELECT p_partkey, 1 FROM part WHERE p_partkey BETWEEN 2 AND 3
@@ -2499,13 +2579,19 @@ SELECT l.doc_id, l.pred_lang, l.lang_hits,
        g.ellipsis_line_frac, g.alpha_word_frac, g.n_stopwords,
        g.pass_word_count, g.pass_mean_word_len, g.pass_symbol_ratio,
        g.pass_bullet_lines, g.pass_ellipsis_lines, g.pass_alpha_words,
-       g.pass_stopwords, g.gopher_keep
+       g.pass_stopwords, g.gopher_keep,
+       p.n_emails, p.n_ipv4, p.n_phones, p.pii_total, p.pii_redacted,
+       c.c4_n_lines, c.c4_kept_lines, c.c4_kept_char_frac, c.c4_n_sentences,
+       c.c4_has_lorem, c.c4_has_brace, c.c4_has_badword, c.c4_keep,
+       c.c4_clean_text
 FROM ({sql["lang_id_docs"]}) l
 JOIN ({sql["quality_scores"]}) q ON l.doc_id = q.doc_id
 JOIN ({sql["token_counts"]}) t ON l.doc_id = t.doc_id
 JOIN ({sql["fingerprint_docs"]}) fp ON l.doc_id = fp.doc_id
 JOIN ({sql["repetition_docs"]}) r ON l.doc_id = r.doc_id
 JOIN ({sql["gopher_filters"]}) g ON l.doc_id = g.doc_id
+JOIN ({sql["pii_scrub"]}) p ON l.doc_id = p.doc_id
+JOIN ({sql["c4_line_filters"]}) c ON l.doc_id = c.doc_id
 """
 
     sql["anti_semi_customers"] = f"""

@@ -84,6 +84,8 @@ def main() -> None:
         # round-6 operators
         "repetition_docs",
         "gopher_filters",
+        "pii_scrub",
+        "c4_line_filters",
     ]
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
     # round 6 merged some queries() entries to fit the driver's 50-gate cap;

@@ -285,6 +285,113 @@ def gopher_filters(
     return out.withColumn("gopher_keep", keep)
 
 
+# PII patterns, restricted to the Java-regex ∩ RE2 common subset (no
+# lookaround, no backrefs) so the DuckDB oracle is exact. Heuristics, not
+# recall-complete detectors — at 100 TB the point is the one-scan map-only
+# plumbing; swap in stricter patterns per corpus.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\+?\d[\d()\-.]{5,}\d"
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Regex PII detection + redaction (the BigCode/CCNet-style scrub pass
+    every LLM training-data pipeline runs before tokenization).
+
+    Sequential, order-defined: emails are counted on the raw text and
+    replaced with ``[EMAIL]``; IPv4s are counted on THAT result and
+    replaced with ``[IPV4]``; phone-like digit runs are counted last and
+    replaced with ``[PHONE]`` (so an IP is never double-counted as a
+    phone number). Emits per-type counts, the total, and the fully
+    redacted text.
+
+    Shape at scale: three chained ``regexp_replace`` column expressions
+    over one scan — map-only, no shuffle, whole-stage codegen.
+    """
+    text = F.col(text_col)
+    n_emails = F.size(F.regexp_extract_all(text, F.lit(PII_EMAIL), 0)).cast("long")
+    t1 = F.regexp_replace(text, PII_EMAIL, "[EMAIL]")
+    n_ipv4 = F.size(F.regexp_extract_all(t1, F.lit(PII_IPV4), 0)).cast("long")
+    t2 = F.regexp_replace(t1, PII_IPV4, "[IPV4]")
+    n_phones = F.size(F.regexp_extract_all(t2, F.lit(PII_PHONE), 0)).cast("long")
+    t3 = F.regexp_replace(t2, PII_PHONE, "[PHONE]")
+    return df.select(
+        id_col,
+        n_emails.alias("n_emails"),
+        n_ipv4.alias("n_ipv4"),
+        n_phones.alias("n_phones"),
+        (n_emails + n_ipv4 + n_phones).alias("pii_total"),
+        t3.alias("pii_redacted"),
+    )
+
+
+# tiny placeholder blocklist — the C4 "bad words" rule; real deployments
+# substitute the published word-list for their corpus/language
+C4_BADWORDS = ["viagra", "casino", "lottery"]
+
+
+def c4_line_filters(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_line_words: int = 3,
+    min_sentences: int = 5,
+) -> DataFrame:
+    """C4-style line-level cleaning (Raffel et al. 2020 §2.2) — the
+    line-granular companion to the doc-level :func:`gopher_filters`:
+
+    - a LINE is kept iff it (trimmed) ends in terminal punctuation
+      (``. ! ? "``), has >= ``min_line_words`` whitespace words, and does
+      not contain "javascript" (case-insensitive);
+    - ``c4_clean_text`` = kept lines re-joined with newlines;
+    - the PAGE is kept (``c4_keep``) iff the cleaned text has >=
+      ``min_sentences`` sentence-terminal marks and the raw text has no
+      "lorem ipsum", no ``{``, and no blocklist word
+      (:data:`C4_BADWORDS`, word-boundary match).
+
+    Shape at scale: array lambdas over one scan — map-only, no shuffle,
+    whole-stage codegen; like :func:`gopher_filters` this runs before any
+    shuffling operator so dropped pages never reach a shuffle.
+    """
+    text = F.col(text_col)
+    lines = F.filter(
+        F.transform(F.split(text, "\n"), lambda l: F.trim(l)),
+        lambda l: F.length(l) > 0,
+    )
+    kept = F.filter(
+        lines,
+        lambda l: l.rlike(r'[.!?"]$')
+        & (
+            F.size(F.filter(F.split(l, r"\s+"), lambda t: F.length(t) > 0))
+            >= min_line_words
+        )
+        & ~F.lower(l).contains("javascript"),
+    )
+    clean = F.concat_ws("\n", kept)
+    n_sent = F.size(F.regexp_extract_all(clean, F.lit(r"[.!?]"), 0)).cast("long")
+    has_lorem = F.lower(text).contains("lorem ipsum")
+    has_brace = text.contains("{")
+    bad_pat = r"\b(" + "|".join(C4_BADWORDS) + r")\b"
+    has_bad = F.lower(text).rlike(bad_pat)
+    keep = (
+        (n_sent >= min_sentences) & ~has_lorem & ~has_brace & ~has_bad
+    )
+    return df.select(
+        id_col,
+        F.size(lines).cast("long").alias("c4_n_lines"),
+        F.size(kept).cast("long").alias("c4_kept_lines"),
+        F.round(
+            F.length(clean) / F.greatest(F.length(text), F.lit(1)), 6
+        ).alias("c4_kept_char_frac"),
+        n_sent.alias("c4_n_sentences"),
+        has_lorem.alias("c4_has_lorem"),
+        has_brace.alias("c4_has_brace"),
+        has_bad.alias("c4_has_badword"),
+        keep.alias("c4_keep"),
+        clean.alias("c4_clean_text"),
+    )
+
+
 def fingerprint(
     df: DataFrame, text_col: str = "text", max_tokens: int = 64, portable: bool = True
 ) -> DataFrame:

@@ -255,6 +255,89 @@ def test_gopher_filters(spark):
     assert r6["bullet_line_frac"] == 0.0 and r6["gopher_keep"] is False
 
 
+def test_pii_scrub(spark):
+    rows = [
+        (1, "contact john.doe@example.com or admin@foo.org today"),
+        (2, "server at 192.168.0.1 and 10.0.0.255."),
+        (3, "call +1-800-555-0199 now"),
+        (4, "pi is 3.14 ok"),  # short decimal: NOT a phone-like run
+        (5, "a@b.co at 1.2.3.4"),
+        (6, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r.asDict() for r in textstats.pii_scrub(df).collect()}
+
+    r1 = out[1]
+    assert (r1["n_emails"], r1["n_ipv4"], r1["n_phones"]) == (2, 0, 0)
+    assert r1["pii_redacted"] == "contact [EMAIL] or [EMAIL] today"
+
+    r2 = out[2]
+    assert (r2["n_emails"], r2["n_ipv4"], r2["n_phones"]) == (0, 2, 0)
+    assert r2["pii_redacted"] == "server at [IPV4] and [IPV4]."
+
+    r3 = out[3]
+    assert (r3["n_emails"], r3["n_ipv4"], r3["n_phones"]) == (0, 0, 1)
+    assert r3["pii_redacted"] == "call [PHONE] now"
+
+    r4 = out[4]
+    assert r4["pii_total"] == 0 and r4["pii_redacted"] == "pi is 3.14 ok"
+
+    r5 = out[5]
+    # email redacted FIRST, so the IP is still counted as an IP, not a phone
+    assert (r5["n_emails"], r5["n_ipv4"], r5["n_phones"]) == (1, 1, 0)
+    assert r5["pii_redacted"] == "[EMAIL] at [IPV4]"
+
+    assert out[6]["pii_total"] == 0 and out[6]["pii_redacted"] == ""
+
+
+def test_c4_line_filters(spark):
+    mixed = (
+        "This is a good sentence.\n"
+        "short.\n"
+        "No terminal punct line here\n"
+        "Another fine sentence!\n"
+        "buy viagra now."
+    )
+    rows = [
+        (1, mixed),
+        (2, "\n".join(["One two three four."] * 5)),
+        (3, "Config block { nested } here.\n" + "\n".join(["Aa bb cc."] * 5)),
+        (4, "Lorem Ipsum dolor sit amet.\n" + "\n".join(["Aa bb cc."] * 5)),
+        (5, "Enable javascript to view this.\n" + "\n".join(["Aa bb cc."] * 5)),
+        (6, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r.asDict() for r in textstats.c4_line_filters(df).collect()}
+
+    r1 = out[1]
+    assert r1["c4_n_lines"] == 5 and r1["c4_kept_lines"] == 3
+    assert r1["c4_clean_text"] == (
+        "This is a good sentence.\nAnother fine sentence!\nbuy viagra now."
+    )
+    assert r1["c4_n_sentences"] == 3
+    assert r1["c4_has_badword"] is True and r1["c4_keep"] is False
+
+    r2 = out[2]
+    assert r2["c4_kept_lines"] == 5 and r2["c4_n_sentences"] == 5
+    assert r2["c4_keep"] is True
+    assert r2["c4_kept_char_frac"] == 1.0
+
+    r3 = out[3]
+    assert r3["c4_has_brace"] is True and r3["c4_keep"] is False
+
+    r4 = out[4]
+    assert r4["c4_has_lorem"] is True and r4["c4_keep"] is False
+
+    r5 = out[5]
+    # the javascript line is dropped at line level; the page itself keeps
+    assert r5["c4_n_lines"] == 6 and r5["c4_kept_lines"] == 5
+    assert r5["c4_keep"] is True
+
+    r6 = out[6]
+    assert r6["c4_n_lines"] == 0 and r6["c4_kept_char_frac"] == 0.0
+    assert r6["c4_keep"] is False
+
+
 def test_fingerprint_order_sensitive(spark):
     df = spark.createDataFrame(
         [(1, "alpha beta gamma"), (2, "gamma beta alpha"), (3, "alpha beta gamma")],

@@ -56,6 +56,10 @@ EXPECT = {
     "repetition_docs": (["HashAggregate"], ["BatchEvalPython", "ArrowEvalPython"]),
     # round-6: gopher rule filters are pure map-only column expressions
     "gopher_filters": ([], ["BatchEvalPython", "ArrowEvalPython", "Exchange"]),
+    # round-6: PII scrub and C4 line filters — chained regexp/array
+    # lambdas, map-only
+    "pii_scrub": ([], ["BatchEvalPython", "ArrowEvalPython", "Exchange"]),
+    "c4_line_filters": ([], ["BatchEvalPython", "ArrowEvalPython", "Exchange"]),
 }
 
 

@@ -65,10 +65,16 @@ def main() -> None:
         4 * int(cores), n_docs // 12500
     )
     # default 20 g (flat across core counts — the r3-measured best for both
-    # levels). SPARK_GRAFT_HEAP_G overrides for the per-core-constant-memory
-    # cluster analog (N and 4N executors each keep the same memory PER CORE,
-    # so the low-core leg gets proportionally less total heap).
-    heap_g = int(os.environ.get("SPARK_GRAFT_HEAP_G", "20"))
+    # levels). SPARK_GRAFT_HEAP_G overrides it outright;
+    # SPARK_GRAFT_HEAP_PER_CORE_G sizes it as cores x that value — the
+    # per-core-constant-memory cluster analog (N and 4N executors each keep
+    # the same memory PER CORE, so the low-core leg gets proportionally less
+    # total heap instead of the flat analog's 4x-per-core advantage).
+    per_core = os.environ.get("SPARK_GRAFT_HEAP_PER_CORE_G")
+    if per_core:
+        heap_g = max(2, round(int(cores) * float(per_core)))
+    else:
+        heap_g = int(os.environ.get("SPARK_GRAFT_HEAP_G", "20"))
     spark = build_session(
         cores=cores,
         shuffle_partitions=shuffle,
