@@ -229,8 +229,14 @@ def run_kg_pipeline(
     resume: bool = True,
     with_dedup: bool = False,
     with_ann_index: bool | str = False,
+    with_quality: bool = False,
 ) -> dict[str, DataFrame]:
     """Full M0→M4 build. Returns the materialized DataFrames by name.
+
+    ``with_quality`` adds a ``doc_quality`` stage: the one-scan composed
+    corpus-cleaning pass (``ops.textstats.document_quality`` — Gopher
+    rules + PII scrub + C4 line cleaning, map-only) over the source
+    corpus, materialized like every other stage.
 
     ``with_dedup`` adds a ``near_dup_pairs`` stage (MinHash+LSH over the
     source corpus, shingle/signature relations materialized under
@@ -379,7 +385,19 @@ def run_kg_pipeline(
             upstream=["sentences", "mentions"],
             config={"terms": sorted(t for t, _ in fixtures.GLOF_TERMS)},
         )
-        f_dedup = f_ann = None
+        f_dedup = f_ann = f_quality = None
+        if with_quality:
+            from ..ops import textstats as textstats_ops
+
+            f_quality = ex.submit(
+                pipe.stage,
+                "doc_quality",
+                lambda: textstats_ops.document_quality(source, text_col="content"),
+                upstream=["source"],
+                # published defaults; named in the fingerprint so a future
+                # threshold change re-runs the stage instead of resuming
+                config={"families": "gopher+pii+c4", "thresholds": "published-defaults"},
+            )
         if with_dedup:
             from ..ops import dedup as dedup_ops
 
@@ -474,6 +492,7 @@ def run_kg_pipeline(
         meta = f_meta.result()
         near_dup = f_dedup.result() if f_dedup is not None else None
         ann_index = f_ann.result() if f_ann is not None else None
+        doc_quality = f_quality.result() if f_quality is not None else None
     out = {
         "source": source,
         "sentences": sentences,
@@ -493,4 +512,6 @@ def run_kg_pipeline(
         out["near_dup_pairs"] = near_dup
     if ann_index is not None:
         out["ann_index"] = ann_index
+    if doc_quality is not None:
+        out["doc_quality"] = doc_quality
     return out

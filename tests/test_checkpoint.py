@@ -6,6 +6,8 @@ from __future__ import annotations
 import json
 import os
 
+from pyspark.sql import functions as F
+
 from pubmedkb_web_spark.pipeline import runner
 
 
@@ -161,6 +163,35 @@ def test_optional_dedup_and_ann_stages_resume(spark, tmp_path):
     assert t3["_pipeline"].results["near_dup_pairs"].recomputed
     assert not t3["_pipeline"].results["ann_index"].recomputed
     assert sorted(map(tuple, t3["near_dup_pairs"].collect())) == first_pairs
+
+
+def test_optional_quality_stage_resume(spark, tmp_path):
+    """with_quality wires the one-scan corpus-cleaning pass (Gopher + PII
+    + C4) as a resumable stage: core tables unchanged, one row per source
+    doc, fingerprint resume skips recompute."""
+    out = str(tmp_path / "kb")
+    base = runner.run_kg_pipeline(spark, str(tmp_path / "base"), n_docs=60)
+    t1 = runner.run_kg_pipeline(spark, out, n_docs=60, with_quality=True)
+    assert sorted(map(tuple, t1["triples"].collect())) == sorted(
+        map(tuple, base["triples"].collect())
+    )
+    dq = t1["doc_quality"]
+    assert dq.count() == t1["source"].count()
+    for col in ("gopher_keep", "pii_redacted", "c4_keep", "quality_keep"):
+        assert col in dq.columns
+    # quality_keep is the AND of the two page-level keeps
+    bad = dq.filter(
+        F.col("quality_keep") != (F.col("gopher_keep") & F.col("c4_keep"))
+    ).count()
+    assert bad == 0
+    first = sorted(map(tuple, dq.select("doc_id", "quality_keep").collect()))
+
+    t2 = runner.run_kg_pipeline(spark, out, n_docs=60, with_quality=True)
+    assert not t2["_pipeline"].results["doc_quality"].recomputed
+    assert (
+        sorted(map(tuple, t2["doc_quality"].select("doc_id", "quality_keep").collect()))
+        == first
+    )
 
 
 def test_ann_ivf_stage_resume_and_probe(spark, tmp_path):

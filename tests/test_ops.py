@@ -338,6 +338,34 @@ def test_c4_line_filters(spark):
     assert r6["c4_keep"] is False
 
 
+def test_document_quality_composition(spark):
+    """document_quality (one-scan composed projection) must equal the
+    three standalone ops joined on doc_id, plus the combined keep —
+    and its plan must stay join-free (no Exchange)."""
+    rows = [
+        (1, "the cats sats on mats and rats in hats " * 6),
+        (2, "contact a@b.co now.\n" + "\n".join(["Aa bb the cc."] * 5)),
+        (3, "- bullet\nlorem ipsum here { and 192.168.0.1"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    combined = textstats.document_quality(df)
+    joined = (
+        textstats.gopher_filters(df)
+        .join(textstats.pii_scrub(df), "doc_id")
+        .join(textstats.c4_line_filters(df), "doc_id")
+    )
+    assert set(combined.columns) == set(joined.columns) | {"quality_keep"}
+    shared = sorted(set(joined.columns))
+    assert sorted(
+        map(tuple, combined.select(*shared).collect())
+    ) == sorted(map(tuple, joined.select(*shared).collect()))
+    for r in combined.collect():
+        assert r["quality_keep"] == (r["gopher_keep"] and r["c4_keep"])
+    plan = combined._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "BatchEvalPython" not in plan
+
+
 def test_fingerprint_order_sensitive(spark):
     df = spark.createDataFrame(
         [(1, "alpha beta gamma"), (2, "gamma beta alpha"), (3, "alpha beta gamma")],
