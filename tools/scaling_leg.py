@@ -30,6 +30,7 @@ import time
 
 sys.path.insert(0, "/root/repo")
 
+REPO = "/root/repo"
 OUT = "/root/repo/SCALING_SAMPLES.jsonl"
 
 
@@ -75,8 +76,29 @@ def main() -> None:
         heap_g = max(2, round(int(cores) * float(per_core)))
     else:
         heap_g = int(os.environ.get("SPARK_GRAFT_HEAP_G", "20"))
+    # SPARK_GRAFT_EXEC_MODE=cluster runs local-cluster[n_exec, cores_per_exec,
+    # mem_mb] — SEPARATE executor JVMs, each with its own heap and Python
+    # worker pool. This is the faithful "N vs 4N executors" analog the north
+    # rule names: growing the cluster multiplies executor count while holding
+    # PER-EXECUTOR memory constant, whereas the flat-20g single-JVM analog
+    # hands the low-core leg a 4x per-core memory advantage (its tasks sort
+    # in RAM while the high-core leg's spill). cores argv stays the TOTAL
+    # core count; executors = cores / SPARK_GRAFT_EXEC_CORES (default 2).
+    master = None
+    if os.environ.get("SPARK_GRAFT_EXEC_MODE") == "cluster":
+        exec_cores = int(os.environ.get("SPARK_GRAFT_EXEC_CORES", "2"))
+        exec_mem_mb = int(os.environ.get("SPARK_GRAFT_EXEC_MEM_MB", "10240"))
+        n_exec = max(1, int(cores) // exec_cores)
+        master = f"local-cluster[{n_exec},{exec_cores},{exec_mem_mb}]"
+        extra["spark.executor.memory"] = f"{exec_mem_mb}m"
+        # executor JVMs spawn their own Python workers, which don't inherit
+        # the driver's sys.path — ship the package the --py-files way
+        extra["spark.executorEnv.PYTHONPATH"] = REPO
+        # driver no longer hosts executor state; a modest heap suffices
+        heap_g = int(os.environ.get("SPARK_GRAFT_HEAP_G", "4"))
     spark = build_session(
         cores=cores,
+        master=master,
         shuffle_partitions=shuffle,
         driver_memory=f"{heap_g}g",
         extra_conf=extra,
@@ -96,6 +118,7 @@ def main() -> None:
         "tps": round(n / dt, 1),
         "tmpfs": tmpfs,
         "heap_g": heap_g,
+        "master": master or f"local[{cores}]",
         "shuffle_partitions": shuffle,
         "advisory": advisory,
         "stages": stages,
