@@ -67,6 +67,13 @@ def last_leg() -> dict:
 
 
 N_DOCS = int(os.environ.get("PAIR_HUNT_DOCS", "1600000"))
+# Core counts for the (low, high) legs. 2,8 is the historical single-JVM
+# pair; with SPARK_GRAFT_EXEC_MODE=cluster and SPARK_GRAFT_EXEC_CORES=2,
+# PAIR_HUNT_CORES=4,16 runs local-cluster[2,2,m] vs local-cluster[8,2,m] —
+# the literal "N executors vs 4N executors" of the north rule, where BOTH
+# legs pay inter-executor shuffle fetch (a 1-executor low leg reads 100%
+# of its shuffle locally, an advantage no real N-executor cluster has).
+C_LO, C_HI = (int(c) for c in os.environ.get("PAIR_HUNT_CORES", "2,8").split(","))
 
 
 def run_leg(cores: int) -> tuple[dict, list[float]]:
@@ -87,12 +94,14 @@ def main() -> None:
     max_pairs = int(sys.argv[1]) if len(sys.argv) > 1 else 6
     target = float(sys.argv[2]) if len(sys.argv) > 2 else 0.80
     for i in range(max_pairs):
-        leg2, st2 = run_leg(2)
-        leg8, st8 = run_leg(8)
-        eff = round(leg2["sec"] / (4 * leg8["sec"]), 3)
+        leg2, st2 = run_leg(C_LO)
+        leg8, st8 = run_leg(C_HI)
+        eff = round(leg2["sec"] / ((C_HI / C_LO) * leg8["sec"]), 3)
         rec = {
             "pair": i,
             "n_docs": N_DOCS,
+            "cores": [C_LO, C_HI],
+            "master": [leg2.get("master"), leg8.get("master")],
             "t2": leg2["sec"],
             "t8": leg8["sec"],
             "triples_2": leg2.get("triples"),
@@ -109,7 +118,13 @@ def main() -> None:
             f.write(json.dumps(rec) + "\n")
         print(json.dumps(rec), flush=True)
         scale = N_DOCS / 1600000.0
-        if eff >= target and leg8["sec"] < 400 * scale and leg2["sec"] < 900 * scale:
+        # calm bands calibrated at 2/8 cores, 1.6M docs; rescale linearly
+        # for other corpus sizes and inversely for other core counts
+        if (
+            eff >= target
+            and leg8["sec"] < 400 * scale * 8 / C_HI
+            and leg2["sec"] < 900 * scale * 2 / C_LO
+        ):
             # efficiency >= target AND BOTH legs in their calm bands.
             # Certifying only t8 would let a noise-inflated t2 fake high
             # efficiency (eff = t2 / (4*t8) grows with t2); the calm
