@@ -536,12 +536,26 @@ def q_c4_line_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.c4_line_filters(_t(spark, sf_dir, "documents"))
 
 
+def q_decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (ops/textstats.py decontaminate, the
+    GPT-3 appendix-C 13-gram procedure at gate width n=3 so the synthetic
+    corpus has non-trivial overlap): benchmark = every 17th doc, training
+    side = all docs (benchmark members flag themselves — that is the
+    contract). min_hits=2 exercises the threshold boundary."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 17 == 0)
+    return textstats.decontaminate(docs, bench, n=3, min_hits=2).select(
+        "doc_id", "n_contaminated_ngrams", "contaminated"
+    )
+
+
 def q_textstats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lang_id + quality + token_counts + fingerprint + repetition +
-    gopher-rule filters + PII scrub + C4 line filters joined on doc_id
-    (inner: each emits one row per doc with >=1 token — any token lives
-    on some non-empty line, so the repetition leg's >=1-line domain is a
-    superset; the gopher/pii/c4 legs are all-docs, supersets; token-less
+    gopher-rule filters + PII scrub + C4 line filters + benchmark
+    decontamination joined on doc_id (inner: each emits one row per doc
+    with >=1 token — any token lives on some non-empty line, so the
+    repetition leg's >=1-line domain is a superset; the
+    gopher/pii/c4/decontaminate legs are all-docs, supersets; token-less
     docs drop on both sides)."""
     out = (
         q_lang_id_docs(spark, sf_dir)
@@ -552,6 +566,7 @@ def q_textstats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(q_gopher_filters(spark, sf_dir), "doc_id")
         .join(q_pii_scrub(spark, sf_dir), "doc_id")
         .join(q_c4_line_filters(spark, sf_dir), "doc_id")
+        .join(q_decontaminate_docs(spark, sf_dir), "doc_id")
     )
     return out
 
@@ -2552,6 +2567,36 @@ SELECT doc_id,
 FROM innr_m
 """
 
+    # decontaminate gate twin: 3-gram shingles via lead() over the
+    # empty-filtered token sequence (positions re-numbered AFTER the
+    # filter, matching Spark's F.filter-then-slice enumeration); lead past
+    # the end makes the || chain NULL, which the shn filter drops — the
+    # exact complete-shingle rule of ops/textstats._ngrams
+    sql["decontaminate_docs"] = f"""
+WITH toks0 AS (
+  SELECT doc_id, unnest({TOKS_SQL}) AS tok, generate_subscripts({TOKS_SQL}, 1) AS ord
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, tok, row_number() OVER (PARTITION BY doc_id ORDER BY ord) AS pos
+  FROM toks0 WHERE len(tok) > 0
+),
+sh AS (
+  SELECT doc_id,
+         tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS shingle
+  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+shn AS (SELECT doc_id, shingle FROM sh WHERE shingle IS NOT NULL),
+bench AS (SELECT DISTINCT shingle FROM shn WHERE doc_id % 17 = 0),
+hits AS (
+  SELECT DISTINCT s.doc_id, s.shingle FROM shn s JOIN bench b USING (shingle)
+),
+per AS (SELECT doc_id, count(*)::BIGINT AS n FROM hits GROUP BY 1)
+SELECT d.doc_id, coalesce(p.n, 0)::BIGINT AS n_contaminated_ngrams,
+       coalesce(p.n, 0) >= 2 AS contaminated
+FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
+"""
+
     # ---- merged driver gates (round 6; see queries() docstring) ----------
     # Each merged oracle nests the constituent oracles verbatim (DuckDB
     # supports CTEs inside FROM-subqueries), so the per-capability SQL above
@@ -2583,7 +2628,8 @@ SELECT l.doc_id, l.pred_lang, l.lang_hits,
        p.n_emails, p.n_ipv4, p.n_phones, p.pii_total, p.pii_redacted,
        c.c4_n_lines, c.c4_kept_lines, c.c4_kept_char_frac, c.c4_n_sentences,
        c.c4_has_lorem, c.c4_has_brace, c.c4_has_badword, c.c4_keep,
-       c.c4_clean_text
+       c.c4_clean_text,
+       dc.n_contaminated_ngrams, dc.contaminated
 FROM ({sql["lang_id_docs"]}) l
 JOIN ({sql["quality_scores"]}) q ON l.doc_id = q.doc_id
 JOIN ({sql["token_counts"]}) t ON l.doc_id = t.doc_id
@@ -2592,6 +2638,7 @@ JOIN ({sql["repetition_docs"]}) r ON l.doc_id = r.doc_id
 JOIN ({sql["gopher_filters"]}) g ON l.doc_id = g.doc_id
 JOIN ({sql["pii_scrub"]}) p ON l.doc_id = p.doc_id
 JOIN ({sql["c4_line_filters"]}) c ON l.doc_id = c.doc_id
+JOIN ({sql["decontaminate_docs"]}) dc ON l.doc_id = dc.doc_id
 """
 
     sql["anti_semi_customers"] = f"""

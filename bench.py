@@ -86,6 +86,7 @@ def main() -> None:
         "gopher_filters",
         "pii_scrub",
         "c4_line_filters",
+        "decontaminate_docs",
     ]
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
     # round 6 merged some queries() entries to fit the driver's 50-gate cap;

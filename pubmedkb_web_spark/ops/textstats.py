@@ -459,6 +459,58 @@ def document_quality(
     return df.select(id_col, *(c.alias(n) for n, c in cols.items()))
 
 
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    min_hits: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination for training corpora (the GPT-3 appendix-C
+    procedure, also PaLM/Llama eval hygiene): flag every training document
+    that shares >= ``min_hits`` DISTINCT token ``n``-grams with a
+    benchmark/eval corpus, so evaluation examples can be removed from (or
+    accounted for in) the training set. Default n=13 is the published
+    GPT-3 overlap width.
+
+    Scale shape — why this is not a join of two shingle tables: the
+    benchmark side is eval-sized, so its distinct shingles BROADCAST; the
+    training side is the full corpus, so its shingles are enumerated
+    map-side (explode, no ``distinct()`` — that would be a full-corpus
+    shuffle) and meet the broadcast hash join inside the scan stage. Only
+    MATCHING (doc, shingle) rows — a vanishing fraction of a clean corpus
+    — reach the one aggregation shuffle, where ``count(DISTINCT shingle)``
+    collapses repeat hits; clean documents cost zero shuffle bytes.
+
+    Returns ``docs`` with ``n_contaminated_ngrams`` (distinct benchmark
+    n-grams found in the doc) and ``contaminated`` appended. Documents
+    shorter than ``n`` tokens are never flagged; a benchmark document that
+    also appears in ``docs`` flags itself (by design — that IS
+    contamination).
+    """
+    doc_sh = docs.select(
+        F.col(id_col), F.explode(_ngrams(_tokens(text_col), n)).alias("_sh")
+    )
+    bench_sh = benchmark.select(
+        F.explode(_ngrams(_tokens(bench_text_col), n)).alias("_sh")
+    ).distinct()
+    per_doc = (
+        doc_sh.join(F.broadcast(bench_sh), "_sh")
+        .groupBy(id_col)
+        .agg(F.count_distinct("_sh").alias("n_contaminated_ngrams"))
+    )
+    return (
+        docs.join(per_doc, id_col, "left")
+        .withColumn(
+            "n_contaminated_ngrams",
+            F.coalesce("n_contaminated_ngrams", F.lit(0).cast("long")),
+        )
+        .withColumn("contaminated", F.col("n_contaminated_ngrams") >= min_hits)
+    )
+
+
 def fingerprint(
     df: DataFrame, text_col: str = "text", max_tokens: int = 64, portable: bool = True
 ) -> DataFrame:

@@ -255,6 +255,52 @@ def test_gopher_filters(spark):
     assert r6["bullet_line_frac"] == 0.0 and r6["gopher_keep"] is False
 
 
+def test_decontaminate(spark):
+    # GPT-3-style n-gram decontamination vs a hand-computed oracle.
+    # bench doc 100: "alpha beta gamma delta" -> 3-grams {"alpha beta gamma",
+    # "beta gamma delta"}
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta")], "doc_id long, text string"
+    )
+    rows = [
+        # both bench 3-grams present, one of them twice -> distinct count 2
+        (1, "alpha beta gamma delta and alpha beta gamma again"),
+        # exactly one bench 3-gram -> count 1, below min_hits=2
+        (2, "x alpha beta gamma y"),
+        # shares only a 2-gram, never a 3-gram -> clean
+        (3, "alpha beta delta gamma"),
+        # shorter than n tokens -> never flagged
+        (4, "alpha beta"),
+        # empty doc -> clean
+        (5, ""),
+        # case/whitespace normalization matches the tokenizer
+        (6, "ALPHA   Beta\tgamma zzz"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["n_contaminated_ngrams"], r["contaminated"])
+        for r in textstats.decontaminate(docs, bench, n=3, min_hits=2).collect()
+    }
+    assert out == {
+        1: (2, True),
+        2: (1, False),
+        3: (0, False),
+        4: (0, False),
+        5: (0, False),
+        6: (1, False),
+    }
+    # min_hits=1 flips every doc with any hit
+    out1 = {
+        r["doc_id"]: r["contaminated"]
+        for r in textstats.decontaminate(docs, bench, n=3, min_hits=1).collect()
+    }
+    assert out1 == {1: True, 2: True, 3: False, 4: False, 5: False, 6: True}
+    # the benchmark side must broadcast: the corpus-side scan meets a
+    # BroadcastHashJoin, not a shuffle join
+    plan = textstats.decontaminate(docs, bench, n=3)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
 def test_pii_scrub(spark):
     rows = [
         (1, "contact john.doe@example.com or admin@foo.org today"),

@@ -60,6 +60,12 @@ EXPECT = {
     # lambdas, map-only
     "pii_scrub": ([], ["BatchEvalPython", "ArrowEvalPython", "Exchange"]),
     "c4_line_filters": ([], ["BatchEvalPython", "ArrowEvalPython", "Exchange"]),
+    # round-6: decontamination — the eval-sized benchmark side must
+    # broadcast so the corpus-side shingle scan never shuffles pre-join
+    "decontaminate_docs": (
+        ["BroadcastHashJoin"],
+        ["BatchEvalPython", "ArrowEvalPython", "SortMergeJoin"],
+    ),
 }
 
 
