@@ -77,11 +77,51 @@ def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "dl", (F.col("pos0") + 1).alias("ord"), "tok")
 
 
+# map-only tokenization base shared by the r7-rewritten token queries: the
+# token array stays a per-row ARRAY column (array_remove == the length>0
+# filter, pure codegen) so vocabulary predicates run as array expressions
+# BEFORE any explode — no occurrence-level row blowup, no shuffle
+# (optimization guide §2.3/§2.4: project/filter before the exchange, and
+# prefer removing the exchange outright). The array lands in its own
+# projection so CollapseProject never duplicates the regex split.
+def _vocab_arr():  # built lazily: F.lit needs an active SparkContext
+    return F.array(*[F.lit(w) for w in VOCAB])
+
+
+def _doc_token_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.array_remove(F.split(F.lower(F.col("text")), r"\s+"), "")
+    return docs.select("doc_id", toks.alias("_toks"))
+
+
+def _vocab_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """== _doc_tokens(...).filter(tok.isin(VOCAB)), built map-only: the
+    vocab filter runs INSIDE the token array (transform+filter over array
+    elements), so only matching occurrences are ever exploded into rows."""
+    base = _doc_token_arrays(spark, sf_dir)
+    hits = F.filter(
+        F.transform(
+            F.col("_toks"),
+            lambda t, i: F.struct((i + 1).alias("ord"), t.alias("tok")),
+        ),
+        lambda s: s["tok"].isin(VOCAB),
+    )
+    return base.select(
+        "doc_id", F.size("_toks").alias("dl"), F.explode(hits).alias("_h")
+    ).select("doc_id", "dl", F.col("_h.ord").alias("ord"), F.col("_h.tok").alias("tok"))
+
+
 def _doc_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """entity_postings-shaped doc-level token index: role=head, ann_id=0,
-    score=1. AND/OR over it = boolean doc algebra (SURVEY.md J1/J2)."""
-    dt = _doc_tokens(spark, sf_dir).filter(F.col("tok").isin(VOCAB))
-    return dt.select(
+    score=1. AND/OR over it = boolean doc algebra (SURVEY.md J1/J2).
+
+    r7: distinct (doc, vocab-token) membership == array_intersect of the
+    token array with the vocabulary — deduped by construction, so the old
+    explode-every-token + dropDuplicates SHUFFLE is gone (guide §2.4)."""
+    base = _doc_token_arrays(spark, sf_dir)
+    return base.select(
+        "doc_id", F.explode(F.array_intersect(F.col("_toks"), _vocab_arr())).alias("tok")
+    ).select(
         F.lit("type_name").alias("idx_kind"),
         F.lit("Token").alias("type"),
         F.col("tok").alias("key"),
@@ -89,14 +129,34 @@ def _doc_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("string").alias("doc_id"),
         F.lit(0).cast("long").alias("ann_id"),
         F.lit(1.0).alias("score"),
-    ).dropDuplicates(["key", "doc_id"])
+    )
 
 
 def _tf_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """token-frequency postings: ann_id = hash(token), score = tf — OR over
-    it sums per-doc tf mass, the relevance-ranking shape (SURVEY.md A1)."""
-    dt = _doc_tokens(spark, sf_dir).filter(F.col("tok").isin(VOCAB))
-    tf = dt.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    it sums per-doc tf mass, the relevance-ranking shape (SURVEY.md A1).
+
+    r7: tf(w) = size(toks) − size(array_remove(toks, w)) per vocab word —
+    pure codegen array math, replacing the explode-every-token +
+    groupBy(doc_id, tok) SHUFFLE with a map-only projection (guide §2.4);
+    md5 ann_ids are now computed on ≤|VOCAB| rows/doc, not per occurrence."""
+    base = _doc_token_arrays(spark, sf_dir)
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(w).alias("tok"),
+                (
+                    F.size(F.col("_toks")) - F.size(F.array_remove(F.col("_toks"), w))
+                ).alias("tf"),
+            )
+            for w in VOCAB
+        ]
+    )
+    tf = (
+        base.select("doc_id", F.explode(entries).alias("_e"))
+        .select("doc_id", F.col("_e.tok").alias("tok"), F.col("_e.tf").alias("tf"))
+        .filter(F.col("tf") > 0)
+    )
     return tf.select(
         F.lit("type_name").alias("idx_kind"),
         F.lit("Token").alias("type"),
@@ -110,18 +170,42 @@ def _tf_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _ht_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """head/tail postings: token occurrence in the first half of the doc →
-    head role, second half → tail (exercises the pair query, SURVEY.md J3)."""
-    dt = _doc_tokens(spark, sf_dir).filter(F.col("tok").isin(VOCAB))
-    role = F.when(F.col("ord") * 2 <= F.col("dl"), "head").otherwise("tail")
-    return dt.select(
-        F.lit("type_name").alias("idx_kind"),
-        F.lit("Token").alias("type"),
-        F.col("tok").alias("key"),
-        role.alias("role"),
-        F.col("doc_id").cast("string").alias("doc_id"),
-        F.lit(0).cast("long").alias("ann_id"),
-        F.lit(1.0).alias("score"),
-    ).dropDuplicates(["key", "role", "doc_id"])
+    head role, second half → tail (exercises the pair query, SURVEY.md J3).
+
+    r7: ord*2 <= dl ⇔ the occurrence sits in slice(toks, 1, dl/2) — the
+    halves are materialized once per row and membership is array_contains,
+    replacing explode-every-token + dropDuplicates SHUFFLE (guide §2.4)."""
+    base = _doc_token_arrays(spark, sf_dir)
+    half = F.floor(F.size("_toks") / 2).cast("int")
+    halves = base.select(
+        "doc_id",
+        F.slice(F.col("_toks"), F.lit(1), half).alias("_head"),
+        F.slice(F.col("_toks"), half + 1, F.size("_toks") - half).alias("_tail"),
+    )
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(w).alias("tok"),
+                F.lit(role).alias("role"),
+                F.array_contains(F.col(c), w).alias("has"),
+            )
+            for w in VOCAB
+            for role, c in (("head", "_head"), ("tail", "_tail"))
+        ]
+    )
+    return (
+        halves.select("doc_id", F.explode(entries).alias("_e"))
+        .filter(F.col("_e.has"))
+        .select(
+            F.lit("type_name").alias("idx_kind"),
+            F.lit("Token").alias("type"),
+            F.col("_e.tok").alias("key"),
+            F.col("_e.role").alias("role"),
+            F.col("doc_id").cast("string").alias("doc_id"),
+            F.lit(0).cast("long").alias("ann_id"),
+            F.lit(1.0).alias("score"),
+        )
+    )
 
 
 _HT_SQL = f"""
@@ -291,16 +375,18 @@ def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_cooccurrence_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    dt = (
-        _doc_tokens(spark, sf_dir)
-        .filter(F.col("tok").isin(VOCAB))
-        .select("doc_id", "tok")
-        .distinct()
+    # r7: the per-doc distinct vocab set is array_intersect(toks, VOCAB) —
+    # pair enumeration (n1 < n2) is a double explode of that ≤5-element
+    # array per doc, replacing explode-every-token + DISTINCT shuffle +
+    # doc_id self-join shuffle with a map-only plan (guide §2.4); only the
+    # final salted pair-count aggregation shuffles, as before.
+    base = _doc_token_arrays(spark, sf_dir)
+    vs = base.select(
+        "doc_id", F.array_intersect(F.col("_toks"), _vocab_arr()).alias("_vs")
     )
-    a = dt.select("doc_id", F.col("tok").alias("n1"))
-    b = dt.select("doc_id", F.col("tok").alias("n2"))
     pairs = (
-        a.join(b, "doc_id")
+        vs.select("doc_id", F.explode("_vs").alias("n1"), F.col("_vs"))
+        .select("doc_id", "n1", F.explode("_vs").alias("n2"))
         .filter(F.col("n1") < F.col("n2"))
         .withColumn("sent_idx", F.lit(0))
         .withColumn("score", F.lit(1.0))
@@ -310,11 +396,16 @@ def q_cooccurrence_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_odds_ratio_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    dt = _doc_tokens(spark, sf_dir).filter(F.col("tok").isin(VOCAB))
-    mentions = dt.select(
+    # r7: pair_contingency deduplicates mentions per (doc, sent, name)
+    # first thing, so feeding it the map-only per-doc distinct vocab set
+    # (array_intersect, ≤5 rows/doc) is equivalent to the old
+    # explode-every-occurrence feed — but its internal DISTINCT now
+    # shuffles ≤5 rows/doc instead of every token occurrence (guide §2.3).
+    base = _doc_token_arrays(spark, sf_dir)
+    mentions = base.select(
         F.col("doc_id").cast("string").alias("doc_id"),
         F.lit(0).alias("sent_idx"),
-        F.col("tok").alias("name"),
+        F.explode(F.array_intersect(F.col("_toks"), _vocab_arr())).alias("name"),
     )
     sentences = _t(spark, sf_dir, "documents").select(
         F.col("doc_id").cast("string").alias("doc_id"), F.lit(0).alias("sent_idx")
@@ -893,7 +984,10 @@ def q_journal_impact_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_glof_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GLOF evidence rollup (server.py:1455-1523): per (key, direction,
     doc) sentence counts, docs ranked by evidence desc."""
-    dt = _doc_tokens(spark, sf_dir).filter(F.col("tok").isin(VOCAB))
+    # r7: vocab filter runs inside the token array before the explode
+    # (map-only _vocab_tokens) — ~6x fewer generated rows feed the
+    # dropDuplicates shuffle below (guide §2.3: shuffle fewer bytes).
+    dt = _vocab_tokens(spark, sf_dir)
     glof = dt.select(
         F.lit("Token").alias("type"),
         F.col("tok").alias("key"),
@@ -1018,14 +1112,31 @@ def q_varsum_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_qa_target_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """QA target filter incl. the gene-prefix fallback + no-underscore
     quirk (kb_utils.py:2456-2483) over per-doc token-match arrays."""
-    dt = _doc_tokens(spark, sf_dir)
-    per_doc = dt.groupBy("doc_id").agg(
-        F.array_sort(F.collect_set(F.when(F.col("tok").isin("spark", "sort"), F.col("tok")))).alias("d_name_matches"),
-        F.array_sort(F.collect_set(F.when(F.col("tok") == "join", F.col("tok")))).alias("g_name_matches"),
-        F.array_sort(F.collect_set(
-            F.when(F.col("tok") == "hash", F.lit("hash_v1")).when(F.col("tok") == "merge", F.lit("mergeX"))
-        )).alias("v_name_matches"),
-        F.array_sort(F.collect_set(F.when(F.col("tok").isin(VOCAB), F.col("tok")))).alias("triplet_list"),
+    # r7: every match-list is a set over the doc's tokens, so each is an
+    # array_intersect / conditional-array expression over the map-only
+    # token array — the explode-every-token + groupBy(doc_id) SHUFFLE is
+    # gone entirely (guide §2.4); qa_target_filter only probes the arrays
+    # with arrays_overlap/exists, so element order inside them is
+    # irrelevant (sort kept for the sorted-list contract anyway).
+    base = _doc_token_arrays(spark, sf_dir)
+    has = lambda w: F.array_contains(F.col("_toks"), w)  # noqa: E731
+    opt = lambda cond, val: F.when(cond, F.array(F.lit(val))).otherwise(  # noqa: E731
+        F.array().cast("array<string>")
+    )
+    per_doc = base.filter(F.size("_toks") > 0).select(
+        "doc_id",
+        F.sort_array(
+            F.array_intersect(F.col("_toks"), F.array(F.lit("spark"), F.lit("sort")))
+        ).alias("d_name_matches"),
+        F.array_intersect(F.col("_toks"), F.array(F.lit("join"))).alias(
+            "g_name_matches"
+        ),
+        F.concat(opt(has("hash"), "hash_v1"), opt(has("merge"), "mergeX")).alias(
+            "v_name_matches"
+        ),
+        F.sort_array(F.array_intersect(F.col("_toks"), _vocab_arr())).alias(
+            "triplet_list"
+        ),
     )
     out = retrieval.qa_target_filter(
         per_doc, d_set=["spark"], g_set=["hash", "merge"], v_set=["rsX"]
@@ -1083,7 +1194,9 @@ def q_gvd_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordering/truncation key) + new_score (GDScore via get_string_score,
     f"{score/100:.2f}"), top-3 objects per subject."""
     annotators = ["paper", "sentence", "odds_ratio"]
-    dt = _doc_tokens(spark, sf_dir).filter(F.col("tok").isin(VOCAB))
+    # r7: map-only vocab-hit rows (see _vocab_tokens) — same (tok, ord)
+    # multiset, built without exploding non-vocab tokens.
+    dt = _vocab_tokens(spark, sf_dir)
     keyed = dt.select(
         F.col("tok").alias("subj"),
         F.concat(F.lit("D"), (F.col("doc_id") % 7).cast("string")).alias("obj"),
@@ -1120,9 +1233,7 @@ def q_kg_extractor_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
     need the fixture corpus, and stay covered by pytest + the rows-only
     kg gate)."""
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    dt = _doc_tokens(spark, sf_dir).filter(
-        (F.col("tok").isin(VOCAB)) & (F.col("doc_id") < 200)
-    )
+    dt = _vocab_tokens(spark, sf_dir).filter(F.col("doc_id") < 200)
     mentions = dt.select(
         F.col("doc_id").cast("string").alias("doc_id"),
         F.lit(0).alias("sent_idx"),

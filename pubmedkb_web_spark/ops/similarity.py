@@ -489,41 +489,72 @@ def embed_text(
     for the 100 TB hot path (md5 funnels through a synchronized JVM
     provider and anti-scales past ~8 threads — round-1 measurement).
     """
-    toks = F.filter(
-        F.split(F.lower(F.col(text_col)), r"\W+"), lambda t: F.length(t) > 0
-    )
+    # array_remove == the length>0 filter here (split can only emit empty
+    # strings as degenerate tokens) but stays whole-stage codegen, while
+    # F.filter's lambda drops to interpreted eval per element (guide §4.1:
+    # prefer built-ins; the same lesson as mentions.enumerate_spans).
+    toks = F.array_remove(F.split(F.lower(F.col(text_col)), r"\W+"), "")
     base = docs.select(F.col(id_col).alias("doc_id"), F.explode(toks).alias("tok"))
-    h = md5_int60(F.col("tok")) if portable else F.xxhash64(F.col("tok"))
-    bucket = F.pmod(h, F.lit(dim)).cast("int")
-    sign = F.when(F.pmod(h, F.lit(2 * dim)) >= dim, F.lit(-1)).otherwise(F.lit(1))
-    per_bucket = base.groupBy("doc_id", bucket.alias("bucket")).agg(
-        F.sum(sign).alias("v")
-    )
-    nonzero = per_bucket.groupBy("doc_id").agg(
-        F.map_from_entries(F.collect_list(F.struct("bucket", "v"))).alias("_m")
+    if portable:
+        # md5 funnels through the synchronized java.security provider and
+        # anti-scales with executor threads (5.8 s → 24.8 s from 8 → 32
+        # cores on an identical md5 job — hashing.py module doc), so hash
+        # each DISTINCT token ONCE and broadcast (tok, bucket, sign) back
+        # instead of hashing every occurrence: the md5 count drops from
+        # |occurrences| to |vocabulary|. Natural-language vocabularies stay
+        # broadcastable (heaps-law sublinear); this portable mode exists
+        # for oracle parity, the 100 TB hot path is the xxhash64 branch.
+        h = md5_int60(F.col("tok"))
+        tok_map = (
+            base.select("tok")
+            .distinct()
+            .select(
+                "tok",
+                F.pmod(h, F.lit(dim)).cast("int").alias("_bucket"),
+                F.when(F.pmod(h, F.lit(2 * dim)) >= dim, F.lit(-1))
+                .otherwise(F.lit(1))
+                .alias("_sign"),
+            )
+        )
+        bucketed = base.join(F.broadcast(tok_map), "tok").select(
+            "doc_id", F.col("_bucket").alias("bucket"), F.col("_sign").alias("sign")
+        )
+    else:
+        h = F.xxhash64(F.col("tok"))
+        bucketed = base.select(
+            "doc_id",
+            F.pmod(h, F.lit(dim)).cast("int").alias("bucket"),
+            F.when(F.pmod(h, F.lit(2 * dim)) >= dim, F.lit(-1))
+            .otherwise(F.lit(1))
+            .alias("sign"),
+        )
+    # ONE shuffled aggregation: pivot the dim buckets into columns
+    # (sum(case when bucket=i) per i — partial map-side aggregation, the
+    # shuffle carries one dim-wide row per doc). The old shape was
+    # groupBy(doc_id, bucket) → groupBy(doc_id) collect_list→map →
+    # transform/aggregate lambda assembly: two shuffles, and the lambda
+    # tree evaluated INTERPRETED with the norm sub-aggregate re-evaluated
+    # per output element — O(dim²) interpreted evals per row, measured as
+    # the dominant cost of the gate (guide §4.1: stay in codegen).
+    pivoted = (
+        bucketed.groupBy("doc_id").pivot("bucket", list(range(dim))).sum("sign")
     )
     # zero-token documents get a zero vector, not a silent drop: downstream
     # joins must keep every input doc (round-2 VERDICT contract hole) —
-    # left join back to the full id set, missing map → empty map → 0s
-    assembled = (
-        docs.select(F.col(id_col).alias("doc_id"))
-        .join(nonzero, "doc_id", "left")
-        .withColumn(
-            "_m",
-            F.coalesce(
-                F.col("_m"),
-                F.map_from_arrays(
-                    F.array().cast("array<int>"), F.array().cast("array<bigint>")
-                ),
-            ),
-        )
+    # left join back to the full id set, missing columns → 0s
+    assembled = docs.select(F.col(id_col).alias("doc_id")).join(
+        pivoted, "doc_id", "left"
     )
-    dense = F.transform(
-        F.sequence(F.lit(0), F.lit(dim - 1)),
-        lambda i: F.coalesce(F.element_at(F.col("_m"), i), F.lit(0)).cast("double"),
-    )
-    norm = F.sqrt(F.aggregate(dense, F.lit(0.0), lambda acc, v: acc + v * v))
-    unit = F.transform(dense, lambda v: v / F.when(norm > 0, norm).otherwise(F.lit(1.0)))
+    comps = [
+        F.coalesce(F.col(f"`{i}`"), F.lit(0)).cast("double") for i in range(dim)
+    ]
+    # same fold order as the old aggregate(): ((0.0 + v0²) + v1²) + …
+    sumsq = F.lit(0.0)
+    for c in comps:
+        sumsq = sumsq + c * c
+    norm = F.sqrt(sumsq)
+    safe = F.when(norm > 0, norm).otherwise(F.lit(1.0))
+    unit = F.array(*[c / safe for c in comps])
     return assembled.select("doc_id", unit.alias("embedding"))
 
 

@@ -22,30 +22,43 @@ def bfs_subgraph(
 ) -> DataFrame:
     """(node, depth) reachable from roots within max_depth.
 
-    Per level: frontier ⋈ edges → next frontier, minus visited (left_anti).
-    localCheckpoint per level cuts the growing lineage. Depth is the
-    *minimum* distance (first time a node is reached wins).
+    Depth is the *minimum* distance (first time a node is reached wins),
+    computed declaratively: level k's frontier is distinct(level k−1 ⋈
+    edges) and the result is min(depth) per node over all levels — ONE
+    Spark job for the whole traversal. The previous shape materialized
+    every level eagerly (localCheckpoint + isEmpty + visited anti-join):
+    correct, but 3 driver-synchronous jobs per level dominated wall time
+    for the bounded depths this op is used at (guide §1.2: fix the
+    distributed algorithm first — here the serial job chain, not the
+    per-level compute, was the cost). The trade: on cyclic graphs a level
+    may revisit earlier nodes (bounded by distinct-per-level) where the
+    anti-join used to prune them; min-depth output is identical.
     """
     spark = edges.sparkSession
     src, dst = ("src", "dst") if direction == "out" else ("dst", "src")
-    visited = spark.createDataFrame(
-        [(r, 0) for r in roots], "node string, depth int"
+    # materialize the edge relation ONCE: every BFS level joins against it,
+    # and without this each level re-runs the full upstream edge plan
+    # (parquet scan + projection) — max_depth redundant passes inside the
+    # single job (guide §2.4).
+    edges = edges.select(
+        F.col(src).alias("_src"), F.col(dst).alias("_dst")
     ).localCheckpoint(eager=True)
-    frontier = visited
+    roots_df = spark.createDataFrame([(r, 0) for r in roots], "node string, depth int")
+    levels = [roots_df]
+    frontier = roots_df.select("node")
     for depth in range(1, max_depth + 1):
-        nxt = (
-            frontier.join(edges, frontier.node == edges[src])
-            .select(edges[dst].alias("node"))
+        # plain column names keep the repeated self-reference of ``edges``
+        # unambiguous across levels (frontier's lineage contains edges too)
+        frontier = (
+            frontier.join(edges, F.col("node") == F.col("_src"))
+            .select(F.col("_dst").alias("node"))
             .distinct()
-            .join(visited.select("node"), "node", "left_anti")
-            .withColumn("depth", F.lit(depth))
         )
-        nxt = nxt.localCheckpoint(eager=True)
-        if nxt.isEmpty():
-            break
-        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
-        frontier = nxt
-    return visited
+        levels.append(frontier.withColumn("depth", F.lit(depth)))
+    allv = levels[0]
+    for lv in levels[1:]:
+        allv = allv.unionByName(lv)
+    return allv.groupBy("node").agg(F.min("depth").alias("depth"))
 
 
 # MeSH node-label precedence = the reference's chronological add order
@@ -84,7 +97,22 @@ def mesh_subgraph(
     node→supplemental, descriptor→query, deduplicated.
     """
     spark = nodes.sparkSession
+    # materialize the node table ONCE: every hop (≈10 with the default
+    # levels) joins the frontier against ``nodes``, and the final labeled
+    # join reads it again — without this each of those re-runs the full
+    # upstream node-derivation plan (guide §2.4). The MeSH forest is small
+    # by construction (~10⁴-10⁵ rows at any corpus scale).
+    nodes = nodes.localCheckpoint(eager=True)
     clean = [m[len("MESH:"):] if m.startswith("MESH:") else m for m in query_meshes]
+    # r7: the traversal below is fully declarative — no per-hop
+    # localCheckpoint/isEmpty. Unlike BFS there is no visited-set
+    # dependence between phases (labels resolve by min_by(prio) at the
+    # end), so eager per-hop materialization bought nothing semantically
+    # and cost 2 driver-synchronous jobs per hop (~15 jobs for the default
+    # levels — the measured bulk of this operator's wall time). A hop over
+    # an empty frontier yields an empty batch, which the resolve ignores;
+    # the level bounds are small constants so the lazy plan stays shallow
+    # (guide §1.2: the serial job chain WAS the algorithm problem).
     qdf = (
         spark.createDataFrame([(m,) for m in clean], "mesh string")
         .join(nodes.select("mesh"), "mesh")  # drop unknown ids (l.2277-2281)
@@ -103,15 +131,19 @@ def mesh_subgraph(
             e = exp.select(F.col("_m").alias("src"), F.col("_n").alias("dst"))
         else:  # _m is the child/supplemental: edge (node, _m)
             e = exp.select(F.col("_n").alias("src"), F.col("_m").alias("dst"))
-        nxt = exp.select(F.col("_m").alias("mesh")).distinct().localCheckpoint(eager=True)
+        # per-hop distinct kept deliberately: it is semantically redundant
+        # (labels groupBy by mesh, edges dedupe at the end) but removing it
+        # was MEASURED 5x slower at sf1.0 — the exchange acts as a plan
+        # barrier that keeps Catalyst from re-optimizing the ever-growing
+        # join tree per hop (guide §1.1: the "ideal" shuffle-free plan lost
+        # to the gotcha; empirical loop wins).
+        nxt = exp.select(F.col("_m").alias("mesh")).distinct()
         return e, nxt
 
     frontier = qdf
     for _ in range(super_level):
         e, frontier = hop(frontier, "parent_list", parent_side=True)
         edge_batches.append(e)
-        if frontier.isEmpty():
-            break
         label_batches.append(
             frontier.select("mesh", F.lit("super-category").alias("label"), F.lit(1).alias("prio"))
         )
@@ -120,8 +152,6 @@ def mesh_subgraph(
     for _ in range(sub_level):
         e, frontier = hop(frontier, "child_list", parent_side=False)
         edge_batches.append(e)
-        if frontier.isEmpty():
-            break
         label_batches.append(
             frontier.select("mesh", F.lit("sub-category").alias("label"), F.lit(2).alias("prio"))
         )
@@ -129,15 +159,14 @@ def mesh_subgraph(
     if sibling_level == 1:
         e, parents = hop(qdf, "parent_list", parent_side=True)
         edge_batches.append(e)
-        if not parents.isEmpty():
-            label_batches.append(
-                parents.select("mesh", F.lit("super-category").alias("label"), F.lit(3).alias("prio"))
-            )
-            e2, siblings = hop(parents, "child_list", parent_side=False)
-            edge_batches.append(e2)
-            label_batches.append(
-                siblings.select("mesh", F.lit("sibling").alias("label"), F.lit(4).alias("prio"))
-            )
+        label_batches.append(
+            parents.select("mesh", F.lit("super-category").alias("label"), F.lit(3).alias("prio"))
+        )
+        e2, siblings = hop(parents, "child_list", parent_side=False)
+        edge_batches.append(e2)
+        label_batches.append(
+            siblings.select("mesh", F.lit("sibling").alias("label"), F.lit(4).alias("prio"))
+        )
 
     def resolve(batches: list[DataFrame]) -> DataFrame:
         allb = batches[0]
@@ -145,7 +174,7 @@ def mesh_subgraph(
             allb = allb.unionByName(b)
         return allb.groupBy("mesh").agg(F.min_by("label", "prio").alias("label"))
 
-    pre_supp = resolve(label_batches).localCheckpoint(eager=True)
+    pre_supp = resolve(label_batches)
 
     # supplementals for every node whose first label clears the gate
     gate = F.create_map(*[F.lit(x) for kv in _MESH_LABEL_LEVEL.items() for x in kv])
