@@ -307,20 +307,6 @@ def run_kg_pipeline(
         },
     )
 
-    annotations = pipe.stage(
-        "annotations",
-        # the committed sentences table is one row per (doc_id, sent_idx)
-        # by construction, so its lineage row_count IS the distinct
-        # sentence total — passing it removes a full distinct+count job
-        # over the sentence table from this stage's critical path
-        lambda: extractors.extract_all(
-            mention_df,
-            sentences,
-            n_sentences=pipe.results["sentences"].row_count,
-        ),
-        upstream=["sentences", "mentions"],
-    )
-
     # GLOF track (server.py:1292-1334 + 1472-1523): GLOF term mentions,
     # overlap-subtracted against normal mentions, rolled into the
     # entity-GLOF evidence table that /query_ent_glof serves.
@@ -331,29 +317,60 @@ def run_kg_pipeline(
         gm = mentions.build_glof_mentions(sentences, glof_dict, glof_max_tokens)
         merged = mentions.subtract_glof_overlaps(mention_df, gm)
         return mentions.glof_evidence(merged)
-    canon = pipe.stage(
-        "canonical_map", lambda: canonicalize.canonical_map(entity_dict), config={"seed": seed}
-    )
-    triples = pipe.stage(
-        "triples",
-        lambda: materialize.dedup_triples(
-            canonicalize.rewrite_triples(extractors.to_triples(annotations), canon)
-        ),
-        upstream=["annotations", "canonical_map"],
-        partition_by=["annotator"],
-    )
 
-    # Independent tail stages run CONCURRENTLY from driver threads: Spark
+    # Independent stages run CONCURRENTLY from driver threads: Spark
     # schedules their jobs side by side, overlapping each stage's commit
     # (write + footer metrics) with the others' compute instead of paying
-    # the serial per-stage floor five times. Dependencies are already
-    # materialized (annotations, triples, sentences, mentions, source), so
-    # each submission only reads completed results.
+    # the serial per-stage floor once per stage. Dependencies are already
+    # materialized when each is submitted, so every submission only reads
+    # completed results.
     from concurrent.futures import ThreadPoolExecutor
 
     entity_types = entity_dict.select("id", "type").distinct()
     tail_workers = int(os.environ.get("SPARK_GRAFT_TAIL_WORKERS", "6"))
     with ThreadPoolExecutor(max_workers=tail_workers) as ex:
+        # r7: canonical_map (needs only the entity dict) and glof (needs
+        # the committed sentences + mentions) used to run SERIALLY around
+        # the triples stage — ~3 s and the slowest tail stage respectively,
+        # both on the critical path. Submitting them here overlaps both
+        # with the annotations stage, whose shuffle stalls leave executors
+        # idle (guide §2.6: overlap independent jobs to back-fill).
+        # annotations itself sets no session confs, so there is no
+        # conf-race with concurrently built stages.
+        f_canon = ex.submit(
+            pipe.stage,
+            "canonical_map",
+            lambda: canonicalize.canonical_map(entity_dict),
+            config={"seed": seed},
+        )
+        f_glof = ex.submit(
+            pipe.stage, "glof", build_glof,
+            upstream=["sentences", "mentions"],
+            config={"terms": sorted(t for t, _ in fixtures.GLOF_TERMS)},
+        )
+        annotations = pipe.stage(
+            "annotations",
+            # the committed sentences table is one row per (doc_id, sent_idx)
+            # by construction, so its lineage row_count IS the distinct
+            # sentence total — passing it removes a full distinct+count job
+            # over the sentence table from this stage's critical path
+            lambda: extractors.extract_all(
+                mention_df,
+                sentences,
+                n_sentences=pipe.results["sentences"].row_count,
+            ),
+            upstream=["sentences", "mentions"],
+        )
+        canon = f_canon.result()
+        triples = pipe.stage(
+            "triples",
+            lambda: materialize.dedup_triples(
+                canonicalize.rewrite_triples(extractors.to_triples(annotations), canon)
+            ),
+            upstream=["annotations", "canonical_map"],
+            partition_by=["annotator"],
+        )
+
         f_postings = ex.submit(
             pipe.stage,
             "entity_postings",
@@ -379,11 +396,6 @@ def run_kg_pipeline(
         f_meta = ex.submit(
             pipe.stage, "meta",
             lambda: fixtures.meta_table(spark, source, seed), upstream=["source"],
-        )
-        f_glof = ex.submit(
-            pipe.stage, "glof", build_glof,
-            upstream=["sentences", "mentions"],
-            config={"terms": sorted(t for t, _ in fixtures.GLOF_TERMS)},
         )
         f_dedup = f_ann = f_quality = None
         if with_quality:
