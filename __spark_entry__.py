@@ -69,7 +69,7 @@ def _idx_cache_key(sf_dir: str, table: str, n: int = 12) -> str:
 def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, tok, ord, dl) — positional tokens of documents."""
     docs = _t(spark, sf_dir, "documents")
-    toks = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: F.length(t) > 0)
+    toks = F.array_remove(F.split(F.lower(F.col("text")), r"\s+"), "")  # codegen == the length>0 lambda filter (split only emits "")
     return docs.select(
         "doc_id",
         F.size(toks).alias("dl"),

@@ -39,9 +39,7 @@ def _base_hash(col: Column, portable: bool) -> Column:
 def _tokens(text_col: str) -> Column:
     # filter empties: Spark's split keeps "" around consecutive separators,
     # DuckDB's string_split_regex drops them — keep both sides identical
-    return F.filter(
-        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: F.length(t) > 0
-    )
+    return F.array_remove(F.split(F.lower(F.col(text_col)), r"\s+"), "")  # codegen == the length>0 lambda filter (split only emits "")
 
 
 def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:

@@ -40,7 +40,7 @@ STOPWORDS = ["the", "a", "and", "of", "in", "to", "is"]
 
 
 def _tokens(text_col: str) -> Column:
-    return F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: F.length(t) > 0)
+    return F.array_remove(F.split(F.lower(F.col(text_col)), r"\s+"), "")  # codegen == the length>0 lambda filter (split only emits "")
 
 
 def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -140,7 +140,7 @@ def repetition_metrics(
         id_col,
         "_n_chars",
         F.explode(
-            F.filter(F.split(F.col(text_col), "\n"), lambda l: F.length(l) > 0)
+            F.array_remove(F.split(F.col(text_col), "\n"), "")  # codegen == the length>0 lambda filter (split only emits "")
         ).alias("_line"),
     )
     per_line = lines.groupBy(id_col, "_n_chars", "_line").agg(

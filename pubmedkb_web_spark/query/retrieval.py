@@ -28,9 +28,7 @@ BM25_B = 0.75
 
 def build_term_postings(corpus: DataFrame, doc_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """corpus → (term, doc_id, tf, dl). One explode + one groupBy."""
-    toks = F.filter(
-        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: F.length(t) > 0
-    )
+    toks = F.array_remove(F.split(F.lower(F.col(text_col)), r"\s+"), "")  # codegen == the length>0 lambda filter (split only emits "")
     exploded = corpus.select(
         F.col(doc_col).alias("doc_id"),
         F.size(toks).alias("dl"),
