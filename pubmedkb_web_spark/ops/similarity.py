@@ -528,16 +528,21 @@ def embed_text(
             .otherwise(F.lit(1))
             .alias("sign"),
         )
-    # ONE shuffled aggregation: pivot the dim buckets into columns
-    # (sum(case when bucket=i) per i — partial map-side aggregation, the
-    # shuffle carries one dim-wide row per doc). The old shape was
-    # groupBy(doc_id, bucket) → groupBy(doc_id) collect_list→map →
-    # transform/aggregate lambda assembly: two shuffles, and the lambda
-    # tree evaluated INTERPRETED with the norm sub-aggregate re-evaluated
-    # per output element — O(dim²) interpreted evals per row, measured as
-    # the dominant cost of the gate (guide §4.1: stay in codegen).
-    pivoted = (
-        bucketed.groupBy("doc_id").pivot("bucket", list(range(dim))).sum("sign")
+    # ONE shuffled aggregation: sum(case when bucket=i then sign) per
+    # bucket — partial map-side aggregation, the shuffle carries one
+    # dim-wide row per doc. (An explicit-values pivot() plans as TWO
+    # aggregates/Exchanges via Spark's pivot rewrite — plan-checked.) The
+    # old shape was groupBy(doc_id, bucket) → groupBy(doc_id)
+    # collect_list→map → transform/aggregate lambda assembly: two
+    # shuffles, and the lambda tree evaluated INTERPRETED with the norm
+    # sub-aggregate re-evaluated per output element — O(dim²) interpreted
+    # evals per row, measured as the dominant cost of the gate (guide
+    # §4.1: stay in codegen).
+    pivoted = bucketed.groupBy("doc_id").agg(
+        *[
+            F.sum(F.when(F.col("bucket") == i, F.col("sign"))).alias(str(i))
+            for i in range(dim)
+        ]
     )
     # zero-token documents get a zero vector, not a silent drop: downstream
     # joins must keep every input doc (round-2 VERDICT contract hole) —
