@@ -271,11 +271,24 @@ def q_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = li.groupBy("l_orderkey").agg(
         F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
     )
-    return (
-        rev.join(orders, rev.l_orderkey == orders.o_orderkey)
-        .select(F.col("o_orderkey").alias("orderkey"), "revenue", "o_orderpriority")
-        .orderBy(F.col("revenue").desc(), F.col("orderkey").asc())
+    # r7: take the top-20 on the thin aggregate FIRST (TakeOrderedAndProject
+    # — per-partition heaps, no extra exchange), THEN join the 20 survivors
+    # against orders as a broadcast probe. The old order joined the full
+    # revenue aggregate against the full orders table (SMJ: two wide
+    # exchanges + sorts) only to keep 20 rows (guide §3: make every join
+    # move the fewest rows; lineitem's orderkeys are a TPC-H foreign key
+    # into orders, so the inner join can't eliminate a top-20 candidate —
+    # the result set is identical, oracle-checked at three scale factors).
+    top = (
+        rev.orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
         .limit(20)
+        .withColumnRenamed("l_orderkey", "orderkey")
+    )
+    return (
+        F.broadcast(top)
+        .join(orders, top.orderkey == orders.o_orderkey)
+        .select("orderkey", "revenue", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("orderkey").asc())
     )
 
 
@@ -410,7 +423,12 @@ def q_odds_ratio_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sentences = _t(spark, sf_dir, "documents").select(
         F.col("doc_id").cast("string").alias("doc_id"), F.lit(0).alias("sent_idx")
     )
-    cont = extractors.pair_contingency(mentions, sentences)
+    # doc_id is unique in documents, so the plain footer-metadata count IS
+    # the distinct (doc_id, sent_idx) total — passing it removes the
+    # distinct+count job pair_contingency would otherwise run (guide §2.4).
+    cont = extractors.pair_contingency(
+        mentions, sentences, n_sentences=_t(spark, sf_dir, "documents").count()
+    )
     return cont.select("n1", "n2", "a", "b", "c", "d", "odds_ratio", "ci_low", "ci_high")
 
 

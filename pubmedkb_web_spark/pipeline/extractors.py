@@ -244,12 +244,26 @@ def pair_contingency(
     annotations stage's weak 2→8 scaling (round-3 VERDICT #3). None →
     computed here as before.
     """
-    sent_names = mentions.select(
-        "doc_id", "sent_idx", F.lower(F.col("name")).alias("nm")
-    ).distinct()
-    n1 = sent_names.select("doc_id", "sent_idx", F.col("nm").alias("n1"))
-    n2 = sent_names.select("doc_id", "sent_idx", F.col("nm").alias("n2"))
-    sent_pairs = n1.join(n2, ["doc_id", "sent_idx"]).filter(F.col("n1") < F.col("n2"))
+    # r7: one collect_set aggregation replaces the old distinct + per-key
+    # self-join (distinct exchange + two join exchanges + SMJ): the
+    # per-sentence distinct name set is collected once, and unordered
+    # pairs (n1 < n2) fall out of a double explode of that bounded array
+    # (a sentence holds a handful of mentions). Pair multiset and name
+    # counts are identical to the self-join formulation; the salted
+    # two-phase pair count below is unchanged (guide §2.4: remove the
+    # join's exchanges outright, §2.3: shuffle name sets, not pair rows).
+    per_sent = (
+        mentions.select("doc_id", "sent_idx", F.lower(F.col("name")).alias("nm"))
+        .groupBy("doc_id", "sent_idx")
+        .agg(F.array_sort(F.collect_set("nm")).alias("_nms"))
+    )
+    sent_pairs = (
+        per_sent.select(
+            "doc_id", "sent_idx", F.explode("_nms").alias("n1"), F.col("_nms")
+        )
+        .select("doc_id", "sent_idx", "n1", F.explode("_nms").alias("n2"))
+        .filter(F.col("n1") < F.col("n2"))
+    )
 
     salt = F.pmod(F.xxhash64(key_of(F.col("doc_id"), F.col("sent_idx"))), F.lit(n_salt))
     a = (
@@ -259,7 +273,9 @@ def pair_contingency(
         .groupBy("n1", "n2")
         .agg(F.sum("pc").alias("a"))
     )
-    name_counts = sent_names.groupBy("nm").agg(F.count(F.lit(1)).alias("nc"))
+    name_counts = per_sent.select(F.explode("_nms").alias("nm")).groupBy("nm").agg(
+        F.count(F.lit(1)).alias("nc")
+    )
     total = (
         n_sentences
         if n_sentences is not None
