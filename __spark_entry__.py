@@ -1005,6 +1005,10 @@ def q_glof_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r7: vocab filter runs inside the token array before the explode
     # (map-only _vocab_tokens) — ~6x fewer generated rows feed the
     # dropDuplicates shuffle below (guide §2.3: shuffle fewer bytes).
+    # A fully map-side variant (array_distinct over derived structs,
+    # removing the dropDuplicates exchange too) was MEASURED slower
+    # (2.3-2.6 s vs 2.0-2.1 s at sf1.0): the interpreted struct-building
+    # lambda costs more than the small post-filter shuffle it saves.
     dt = _vocab_tokens(spark, sf_dir)
     glof = dt.select(
         F.lit("Token").alias("type"),

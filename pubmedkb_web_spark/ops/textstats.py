@@ -501,8 +501,14 @@ def decontaminate(
         .groupBy(id_col)
         .agg(F.count_distinct("_sh").alias("n_contaminated_ngrams"))
     )
+    # r7 (round-6 ADVICE): force the broadcast — per_doc is an aggregate
+    # over the contaminated fraction (vanishingly small by the op's
+    # contract), but the planner only sees a size ESTIMATE of an
+    # aggregate-over-join, which could flip this to a full-corpus
+    # SortMergeJoin at larger scale. The explicit hint makes the audited
+    # "clean docs cost zero shuffle bytes" shape hold by construction.
     return (
-        docs.join(per_doc, id_col, "left")
+        docs.join(F.broadcast(per_doc), id_col, "left")
         .withColumn(
             "n_contaminated_ngrams",
             F.coalesce("n_contaminated_ngrams", F.lit(0).cast("long")),
