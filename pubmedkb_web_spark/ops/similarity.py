@@ -506,7 +506,10 @@ def embed_text(
         # for oracle parity, the 100 TB hot path is the xxhash64 branch.
         h = md5_int60(F.col("tok"))
         tok_map = (
-            base.select("tok")
+            # per-doc array_distinct BEFORE the explode: the corpus-level
+            # distinct then shuffles one row per (doc, distinct token)
+            # instead of one per occurrence (guide §2.3)
+            docs.select(F.explode(F.array_distinct(toks)).alias("tok"))
             .distinct()
             .select(
                 "tok",

@@ -139,8 +139,11 @@ def mesh_subgraph(
         return e, nxt
 
     frontier = qdf
-    for _ in range(super_level):
+    first_parent_hop = None
+    for lvl in range(super_level):
         e, frontier = hop(frontier, "parent_list", parent_side=True)
+        if lvl == 0:
+            first_parent_hop = (e, frontier)
         edge_batches.append(e)
         label_batches.append(
             frontier.select("mesh", F.lit("super-category").alias("label"), F.lit(1).alias("prio"))
@@ -155,7 +158,15 @@ def mesh_subgraph(
         )
 
     if sibling_level == 1:
-        e, parents = hop(qdf, "parent_list", parent_side=True)
+        # the parents-of-query hop is IDENTICAL to the first ancestor hop —
+        # reuse its DataFrames instead of re-deriving the join+explode
+        # subtree (one less hop in the plan; the duplicate edge batch it
+        # used to produce was deduplicated away at the end anyway)
+        e, parents = (
+            first_parent_hop
+            if first_parent_hop is not None
+            else hop(qdf, "parent_list", parent_side=True)
+        )
         edge_batches.append(e)
         label_batches.append(
             parents.select("mesh", F.lit("super-category").alias("label"), F.lit(3).alias("prio"))
